@@ -1,0 +1,51 @@
+"""LoRA adapters as declarative parameter slots.
+
+Behavioural contract from the reference (/root/reference/src/adapters/lora.py):
+  - A: [r, in] kaiming-uniform(a=sqrt(5)); B: [out, r] zeros  (lora.py:39-44)
+  - scaling = alpha / sqrt(r)  (NOT alpha/r — lora.py:21)
+  - applied to q, k, v, o projections of attention (lora.py:202-248) or, for
+    timm-style fused layouts, to qkv+proj — our converters split fused qkv, so
+    here LoRA always lives on separate q/k/v/o slots.
+
+In our [in, out] weight layout we store a: [in, r], b: [r, out] with
+delta(x) = (x @ a) @ b * scaling, consumed inline by nn.attention.mha when an
+attention subtree contains a 'lora' entry. Injection is a pure function on the
+param tree; "freezing" falls out of the trainable-parameter partitioning
+(core/partition.py) rather than requires_grad mutation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def lora_pair_init(rng, in_dim: int, out_dim: int, r: int):
+    bound = math.sqrt(3.0) / math.sqrt(in_dim)  # kaiming_uniform(a=sqrt(5)) on [r, in]
+    a = jax.random.uniform(rng, (in_dim, r), jnp.float32, -bound, bound)
+    return {"a": a, "b": jnp.zeros((r, out_dim), jnp.float32)}
+
+
+def inject_lora(rng, vit_params, *, dim: int, r: int = 16,
+                targets=("q", "k", "v", "o"), num_layers: int | None = None):
+    """Return (new_vit_params, count): add 'lora' slots to attention subtrees
+    of the first ``num_layers`` blocks."""
+    blocks = vit_params["blocks"]
+    n = len(blocks) if num_layers is None else min(num_layers, len(blocks))
+    new_blocks = []
+    for i, blk in enumerate(blocks):
+        blk = dict(blk)
+        if i < n:
+            attn = dict(blk["attn"])
+            lora = {}
+            for t in targets:
+                rng, sub = jax.random.split(rng)
+                lora[t] = lora_pair_init(sub, dim, dim, r)
+            attn["lora"] = lora
+            blk["attn"] = attn
+        new_blocks.append(blk)
+    out = dict(vit_params)
+    out["blocks"] = new_blocks
+    return out, n

@@ -1,0 +1,182 @@
+"""MONA adapters (4 variants), TPU-native.
+
+Re-implements the behaviour of the reference's MONA family
+(/root/reference/src/adapters/mona.py:75-487) as pure functions over explicit
+parameter subtrees. Instead of monkey-patching ViT blocks at runtime
+(mona.py:495-680), a MONA adapter is a declarative slot: constructing a ViT
+with ``params['blocks'][i]['mona']`` present makes block *i* apply the adapter
+after its residual MLP — injection is a pure function of the parameter tree
+(see :func:`inject_mona`).
+
+Math (all variants share the bottleneck): with input x [B, N, D],
+
+    z  = LN(x) * gamma + x * gammax          (scaled-skip pre-norm)
+    z  = z @ W_down                          (D -> c, c = 64)
+    cls, s = split(z); s -> [B, h, w, c]
+    s  = MonaOp(s)                           (variant-specific, below)
+    z  = GELU(concat(cls, s)); dropout(0.1); z @ W_up
+    out = x + z
+
+MonaOp:
+    baseline:      s' = (dw3(s) + dw5(s) + dw7(s)) / 3 + s;  s' + pw(s')
+    noise_aware:   w = softmax(MLP(GAP(s))) in R^3;
+                   s' = w1*dw3(s) + w2*dw5(s) + w3*dw7(s) + s;  s' + pw(s')
+    freq_enhanced: f = irfft2(rfft2(s) * filter_c);
+                   s' = (dw3(f)+dw5(f)+dw7(f))/3 + s;  s' + pw(s')
+    hybrid:        f = irfft2(rfft2(s) * filter_c); w = softmax(MLP(GAP(f)));
+                   s' = w1*dw3(f)+w2*dw5(f)+w3*dw7(f) + s;  s' + pw(s')
+
+TPU-first optimisation: the three depthwise kernels are zero-embedded into a
+single 7x7 depthwise kernel and applied as ONE conv — exact under zero
+('SAME') padding. For the noise-aware variants the per-sample branch weights
+fold into per-sample 7x7 kernels, applied with a batch-in-channels grouped
+conv so the whole batch still runs as one XLA conv op.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import conv_init, dropout, gelu, layernorm, layernorm_init, linear, linear_init
+
+VARIANTS = ("baseline", "noise_aware", "freq_enhanced", "hybrid")
+_HAS_FREQ = {"freq_enhanced", "hybrid"}
+_HAS_NOISE = {"noise_aware", "hybrid"}
+
+
+def mona_init(rng, dim: int, bottleneck: int = 64, variant: str = "hybrid"):
+    if variant not in VARIANTS:
+        raise ValueError(f"Unknown MONA variant: {variant!r}; choose from {VARIANTS}")
+    ks = jax.random.split(rng, 8)
+    c = bottleneck
+    p = {
+        "norm": layernorm_init(dim),
+        "gamma": jnp.full((dim,), 1e-6, jnp.float32),
+        "gammax": jnp.ones((dim,), jnp.float32),
+        "down": linear_init(ks[0], dim, c),
+        "up": linear_init(ks[1], c, dim),
+        "conv3": conv_init(ks[2], 3, 3, c, c, groups=c),
+        "conv5": conv_init(ks[3], 5, 5, c, c, groups=c),
+        "conv7": conv_init(ks[4], 7, 7, c, c, groups=c),
+        "pw": conv_init(ks[5], 1, 1, c, c),
+    }
+    if variant in _HAS_FREQ:
+        p["freq_filter"] = jnp.ones((c,), jnp.float32)
+    if variant in _HAS_NOISE:
+        p["noise_est"] = {
+            "fc1": linear_init(ks[6], c, c // 4),
+            "fc2": linear_init(ks[7], c // 4, 3),
+        }
+    return p
+
+
+def _embed_k(w, size: int = 7):
+    """Zero-embed a [k,k,1,C] depthwise kernel into [size,size,1,C]."""
+    k = w.shape[0]
+    pad = (size - k) // 2
+    return jnp.pad(w, ((pad, pad), (pad, pad), (0, 0), (0, 0)))
+
+
+def _dwconv7(x, kernel):
+    """Shared-kernel depthwise 7x7 conv; x [B,h,w,C], kernel [7,7,1,C]."""
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME", feature_group_count=x.shape[-1],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _dwconv7_per_sample(x, kernels):
+    """Per-sample depthwise conv via batch-in-channels trick.
+
+    x [B,h,w,C], kernels [B,7,7,1,C] -> fold batch into channels so one grouped
+    conv covers the whole batch: [1,h,w,B*C] with B*C groups.
+    """
+    b, h, w, c = x.shape
+    xf = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, h, w, b * c)
+    kf = jnp.transpose(kernels[:, :, :, 0, :], (1, 2, 0, 3)).reshape(7, 7, 1, b * c)
+    y = jax.lax.conv_general_dilated(
+        xf, kf, (1, 1), "SAME", feature_group_count=b * c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jnp.transpose(y.reshape(h, w, b, c), (2, 0, 1, 3))
+
+
+def _mona_op(p, s, variant: str):
+    """Variant-specific spatial op on s [B,h,w,c] (reference mona.py:85-93,
+    178-195, 279-295, 401-424)."""
+    identity = s
+    f = s
+    if variant in _HAS_FREQ:
+        h, w = s.shape[1], s.shape[2]
+        sf = jnp.fft.rfft2(s.astype(jnp.float32), axes=(1, 2))
+        sf = sf * p["freq_filter"][None, None, None, :]
+        f = jnp.fft.irfft2(sf, s=(h, w), axes=(1, 2)).astype(s.dtype)
+
+    k3, k5, k7 = _embed_k(p["conv3"]["w"]), _embed_k(p["conv5"]["w"]), _embed_k(p["conv7"]["w"])
+    b3, b5, b7 = p["conv3"]["b"], p["conv5"]["b"], p["conv7"]["b"]
+
+    if variant in _HAS_NOISE:
+        pooled = jnp.mean(f.astype(jnp.float32), axis=(1, 2))  # [B, c]
+        ne = p["noise_est"]
+        wts = jax.nn.softmax(linear(ne["fc2"], jax.nn.relu(linear(ne["fc1"], pooled))), axis=-1)  # [B,3]
+        stacked_k = jnp.stack([k3, k5, k7], axis=0)  # [3,7,7,1,c]
+        per_sample_k = jnp.einsum("bs,shwic->bhwic", wts, stacked_k).astype(f.dtype)
+        stacked_b = jnp.stack([b3, b5, b7], axis=0)  # [3,c]
+        per_sample_b = (wts @ stacked_b).astype(f.dtype)  # [B,c]
+        y = _dwconv7_per_sample(f, per_sample_k) + per_sample_b[:, None, None, :]
+    else:
+        kernel = ((k3 + k5 + k7) / 3.0).astype(f.dtype)
+        bias = ((b3 + b5 + b7) / 3.0).astype(f.dtype)
+        y = _dwconv7(f, kernel) + bias
+
+    y = y + identity
+    pw = p["pw"]
+    proj = jax.lax.conv_general_dilated(
+        y, pw["w"].astype(y.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + pw["b"].astype(y.dtype)
+    return y + proj
+
+
+def mona_apply(p, x, hw, *, variant: str, rng=None, dropout_rate: float = 0.1):
+    """Apply a MONA adapter to token sequence x [B, N, D]; N = h*w + 1 (CLS first)."""
+    b, n, d = x.shape
+    h, w = hw
+    z = layernorm(p["norm"], x) * p["gamma"].astype(x.dtype) + x * p["gammax"].astype(x.dtype)
+    z = linear(p["down"], z, dtype=x.dtype)  # [B, N, c]
+    c = z.shape[-1]
+
+    if n == h * w + 1:
+        cls_tok, sp = z[:, :1, :], z[:, 1:, :]
+        sp = sp.reshape(b, h, w, c)
+        sp = _mona_op(p, sp, variant)
+        z = jnp.concatenate([cls_tok, sp.reshape(b, h * w, c)], axis=1)
+    else:  # no CLS token: whole sequence is spatial (mona.py:141-144)
+        sp = z.reshape(b, h, w, c)
+        sp = _mona_op(p, sp, variant)
+        z = sp.reshape(b, n, c)
+
+    z = gelu(z)
+    z = dropout(rng, z, dropout_rate)
+    z = linear(p["up"], z, dtype=x.dtype)
+    return x + z
+
+
+def inject_mona(rng, vit_params, *, dim: int, bottleneck: int = 64, variant: str = "hybrid",
+                num_layers: int | None = None):
+    """Return (new_vit_params, count): add a 'mona' slot to the first
+    ``num_layers`` blocks (all when None), mirroring the reference's injection
+    semantics (mona.py:578-680) without mutation."""
+    blocks = vit_params["blocks"]
+    n = len(blocks) if num_layers is None else min(num_layers, len(blocks))
+    new_blocks = []
+    for i, blk in enumerate(blocks):
+        blk = dict(blk)
+        if i < n:
+            rng, sub = jax.random.split(rng)
+            blk["mona"] = mona_init(sub, dim, bottleneck, variant)
+        new_blocks.append(blk)
+    out = dict(vit_params)
+    out["blocks"] = new_blocks
+    return out, n

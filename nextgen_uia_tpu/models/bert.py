@@ -1,0 +1,97 @@
+"""BERT text tower (PubMedBERT) for BiomedCLIP in JAX.
+
+The reference loads this through open_clip's HFTextEncoder wrapping
+``microsoft/BiomedCLIP-PubMedBERT_256-vit_base_patch16_224``
+(/root/reference/src/models/biomedclip/finetune.py:116-119): a BERT-base
+encoder (12 post-norm layers, width 768, vocab 30522, ctx 256), CLS pooling of
+the last hidden state, and an MLP projection 768 -> (768+512)//2 -> 512 with
+no biases (open_clip ``proj='mlp'`` convention). Re-implemented TPU-first:
+batch-first everywhere, LayerNorm statistics in f32, one fused attention path
+shared with the ViT.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.attention import mha
+from ..nn.layers import (embedding, embedding_init, gelu, layernorm,
+                         layernorm_init, linear, linear_init)
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    width: int = 768
+    depth: int = 12
+    heads: int = 12
+    intermediate: int = 3072
+    max_positions: int = 512
+    type_vocab: int = 2
+    context_length: int = 256
+    embed_dim: int = 512          # CLIP-space projection dim
+    ln_eps: float = 1e-12
+    pad_id: int = 0
+
+
+def bert_init(rng, cfg: BertConfig):
+    ks = jax.random.split(rng, cfg.depth + 6)
+    hidden = (cfg.width + cfg.embed_dim) // 2
+    return {
+        "embeddings": {
+            "word": embedding_init(ks[0], cfg.vocab_size, cfg.width),
+            "position": embedding_init(ks[1], cfg.max_positions, cfg.width),
+            "token_type": embedding_init(ks[2], cfg.type_vocab, cfg.width),
+            "ln": layernorm_init(cfg.width),
+        },
+        "layers": [_bert_layer_init(ks[3 + i], cfg) for i in range(cfg.depth)],
+        "proj": {
+            "fc1": linear_init(ks[-2], cfg.width, hidden, bias=False),
+            "fc2": linear_init(ks[-1], hidden, cfg.embed_dim, bias=False),
+        },
+    }
+
+
+def _bert_layer_init(rng, cfg: BertConfig):
+    from ..nn.attention import attention_init
+
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "attn": attention_init(k1, cfg.width),
+        "attn_ln": layernorm_init(cfg.width),
+        "ffn": {
+            "fc1": linear_init(k2, cfg.width, cfg.intermediate),
+            "fc2": linear_init(k3, cfg.intermediate, cfg.width),
+        },
+        "ffn_ln": layernorm_init(cfg.width),
+    }
+
+
+def bert_apply(p, cfg: BertConfig, token_ids, *, attention_mask=None, dtype=None):
+    """token_ids [B, L] -> CLS-pooled, MLP-projected embedding [B, embed_dim]."""
+    if attention_mask is None:
+        attention_mask = (token_ids != cfg.pad_id).astype(jnp.float32)
+    emb = p["embeddings"]
+    x = embedding(emb["word"], token_ids, dtype=dtype)
+    positions = jnp.arange(token_ids.shape[1])
+    x = x + embedding(emb["position"], positions, dtype=x.dtype)[None]
+    x = x + embedding(emb["token_type"], jnp.zeros_like(token_ids), dtype=x.dtype)
+    x = layernorm(emb["ln"], x, eps=cfg.ln_eps)
+
+    # additive mask [B, 1, 1, L]: 0 where attended, -1e9 where padded
+    add_mask = (1.0 - attention_mask)[:, None, None, :] * -1e9
+
+    for layer in p["layers"]:
+        # post-norm residual blocks (HF BERT layout)
+        a = mha(layer["attn"], x, num_heads=cfg.heads, mask=add_mask, dtype=dtype)
+        x = layernorm(layer["attn_ln"], x + a, eps=cfg.ln_eps)
+        h = linear(layer["ffn"]["fc1"], x, dtype=dtype)
+        h = linear(layer["ffn"]["fc2"], gelu(h), dtype=dtype)
+        x = layernorm(layer["ffn_ln"], x + h, eps=cfg.ln_eps)
+
+    pooled = x[:, 0, :]  # CLS last-hidden-state pooling
+    h = gelu(linear(p["proj"]["fc1"], pooled, dtype=pooled.dtype))
+    return linear(p["proj"]["fc2"], h, dtype=h.dtype)

@@ -1,0 +1,76 @@
+"""CLIP text transformer (OpenAI layout) in JAX.
+
+Mirrors /root/reference/src/third_party/openai_clip/model.py:300-374:
+token embedding + learned positional embedding, causal transformer
+(quick-gelu), final LayerNorm, EOT pooling (argmax over token ids — the EOT
+token has the highest id in the vocabulary), matrix text projection.
+Used by: OpenAI CLIP, MetaCLIP, UniMedCLIP (whose text weights the reference
+never loads — src/models/unimedclip/finetune.py:86-88 — semantics we keep).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.attention import causal_mask
+from ..nn.layers import embedding, embedding_init, layernorm, layernorm_init, linear, linear_init
+from .vit import ViTConfig, _block_init
+
+
+@dataclasses.dataclass(frozen=True)
+class TextConfig:
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    heads: int = 8
+    depth: int = 12
+    embed_dim: int = 512
+    act: str = "quick_gelu"
+    ln_eps: float = 1e-5
+
+
+def _as_vit_cfg(cfg: TextConfig) -> ViTConfig:
+    # Text blocks share the pre-norm block implementation with the ViT.
+    return ViTConfig(width=cfg.width, heads=cfg.heads, depth=cfg.depth,
+                     act=cfg.act, ln_eps=cfg.ln_eps)
+
+
+def text_init(rng, cfg: TextConfig):
+    ks = jax.random.split(rng, cfg.depth + 4)
+    return {
+        "token_embedding": embedding_init(ks[0], cfg.vocab_size, cfg.width, std=0.02),
+        "pos": jax.random.normal(ks[1], (cfg.context_length, cfg.width), jnp.float32) * 0.01,
+        "blocks": [_block_init(ks[2 + i], _as_vit_cfg(cfg)) for i in range(cfg.depth)],
+        "ln_final": layernorm_init(cfg.width),
+        "proj": linear_init(ks[-1], cfg.width, cfg.embed_dim, bias=False, std=cfg.width ** -0.5),
+    }
+
+
+def text_apply(p, cfg: TextConfig, token_ids, *, dtype=None):
+    """token_ids [B, L] int32 -> [B, embed_dim]."""
+    x = embedding(p["token_embedding"], token_ids, dtype=dtype)
+    x = x + p["pos"][: x.shape[1]].astype(x.dtype)
+    mask = causal_mask(x.shape[1])
+    blk_cfg = _as_vit_cfg(cfg)
+    for blk in p["blocks"]:
+        x = _text_block(blk, x, blk_cfg, mask, dtype=dtype)
+    x = layernorm(p["ln_final"], x, eps=cfg.ln_eps)
+    # EOT pooling: feature at the position of the max token id (model.py:372)
+    eot = jnp.argmax(token_ids, axis=-1)
+    pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0, :]
+    return linear(p["proj"], pooled, dtype=pooled.dtype)
+
+
+def _text_block(p, x, cfg: ViTConfig, mask, *, dtype=None):
+    from ..nn.attention import mha
+    from ..nn.layers import ACTIVATIONS
+
+    act = ACTIVATIONS[cfg.act]
+    x = x + mha(p["attn"], layernorm(p["ln1"], x, eps=cfg.ln_eps),
+                num_heads=cfg.heads, mask=mask, dtype=dtype)
+    h = linear(p["mlp"]["fc1"], layernorm(p["ln2"], x, eps=cfg.ln_eps), dtype=dtype)
+    x = x + linear(p["mlp"]["fc2"], act(h), dtype=dtype)
+    return x

@@ -1,0 +1,162 @@
+"""Unified Vision Transformer for all CLIP families.
+
+One implementation covers the three reference layouts (checkpoint converters
+absorb the naming differences — cf. SURVEY.md §7 "layout quirks live in the
+converter, not the model"):
+
+  - OpenAI CLIP / MetaCLIP visual tower: conv patch embed (no bias), class
+    embedding, ln_pre, quick-gelu blocks, ln_post on CLS, matrix proj
+    (/root/reference/src/third_party/openai_clip/model.py:216-258).
+  - timm/BiomedCLIP trunk: conv patch embed (bias), cls token, pos embed, no
+    ln_pre, gelu blocks, final norm over all tokens, linear head proj
+    (/root/reference/src/third_party/timm/clip_adapter.py:77-116).
+
+Adapter slots are declarative: a block applies MONA iff its param dict has a
+'mona' key; attention applies LoRA iff its subtree has a 'lora' key. There is
+no sequence-first/batch-first split — everything is [B, N, D] (the reference's
+permute dance, mona.py:38-67, is a torch layout artefact with no TPU analogue).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..adapters.mona import mona_apply
+from ..nn.attention import attention_init, mha
+from ..nn.layers import (conv_init, ACTIVATIONS, layernorm, layernorm_init,
+                         linear, linear_init)
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    width: int = 768
+    depth: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    act: str = "gelu"              # 'gelu' (timm/BiomedCLIP) | 'quick_gelu' (OpenAI/UniMedCLIP)
+    use_ln_pre: bool = False        # True for OpenAI/MetaCLIP layout
+    patch_bias: bool = True         # False for OpenAI/MetaCLIP conv1
+    final_norm: str = "all"         # 'all' (timm) | 'cls' (OpenAI ln_post on CLS only)
+    proj_dim: int | None = 512      # output embed dim; None = no projection
+    proj_bias: bool = False         # timm head has no bias either (open_clip proj='linear')
+    ln_eps: float = 1e-5            # timm uses 1e-6
+    # adapter config (static; params decide presence per block)
+    mona_variant: str = "hybrid"
+    lora_alpha: float = 32.0
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def seq_len(self) -> int:
+        return self.grid * self.grid + 1
+
+
+def vit_init(rng, cfg: ViTConfig):
+    ks = jax.random.split(rng, cfg.depth + 5)
+    scale = cfg.width ** -0.5
+    p = {
+        "patch": conv_init(ks[0], cfg.patch_size, cfg.patch_size, 3, cfg.width, bias=cfg.patch_bias),
+        "cls": jax.random.normal(ks[1], (cfg.width,), jnp.float32) * scale,
+        "pos": jax.random.normal(ks[2], (cfg.seq_len, cfg.width), jnp.float32) * scale,
+        "blocks": [_block_init(ks[3 + i], cfg) for i in range(cfg.depth)],
+        "norm": layernorm_init(cfg.width),
+    }
+    if cfg.use_ln_pre:
+        p["ln_pre"] = layernorm_init(cfg.width)
+    if cfg.proj_dim is not None:
+        p["proj"] = linear_init(ks[-1], cfg.width, cfg.proj_dim, bias=cfg.proj_bias, std=scale)
+    return p
+
+
+def _block_init(rng, cfg: ViTConfig):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    hidden = int(cfg.width * cfg.mlp_ratio)
+    return {
+        "ln1": layernorm_init(cfg.width),
+        "attn": attention_init(k1, cfg.width),
+        "ln2": layernorm_init(cfg.width),
+        "mlp": {
+            "fc1": linear_init(k2, cfg.width, hidden),
+            "fc2": linear_init(k3, hidden, cfg.width),
+        },
+    }
+
+
+def block_apply(p, x, cfg: ViTConfig, *, dtype=None, rng=None):
+    """Pre-norm transformer block; MONA slot applied after the residual MLP
+    (matching the reference's post-block injection, mona.py:667-676)."""
+    act = ACTIVATIONS[cfg.act]
+    x = x + mha(p["attn"], layernorm(p["ln1"], x, eps=cfg.ln_eps),
+                num_heads=cfg.heads, dtype=dtype, lora_alpha=cfg.lora_alpha)
+    h = linear(p["mlp"]["fc1"], layernorm(p["ln2"], x, eps=cfg.ln_eps), dtype=dtype)
+    x = x + linear(p["mlp"]["fc2"], act(h), dtype=dtype)
+    if "mona" in p:
+        mona_rng = None
+        if rng is not None:
+            rng, mona_rng = jax.random.split(rng)
+        x = mona_apply(p["mona"], x, (cfg.grid, cfg.grid),
+                       variant=cfg.mona_variant, rng=mona_rng)
+    return x
+
+
+def embed_patches(p, cfg: ViTConfig, images, *, dtype=None):
+    """images [B, H, W, 3] -> tokens [B, N, D] with CLS + positional embedding."""
+    w = p["patch"]["w"]
+    if dtype is not None:
+        images = images.astype(dtype)
+        w = w.astype(dtype)
+    x = jax.lax.conv_general_dilated(
+        images, w, (cfg.patch_size, cfg.patch_size), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p["patch"]:
+        x = x + p["patch"]["b"].astype(x.dtype)
+    b = x.shape[0]
+    x = x.reshape(b, cfg.grid * cfg.grid, cfg.width)
+    cls_tok = jnp.broadcast_to(p["cls"].astype(x.dtype), (b, 1, cfg.width))
+    x = jnp.concatenate([cls_tok, x], axis=1)
+    x = x + p["pos"].astype(x.dtype)
+    if cfg.use_ln_pre:
+        x = layernorm(p["ln_pre"], x, eps=cfg.ln_eps)
+    return x
+
+
+def vit_apply(p, cfg: ViTConfig, images, *, dtype=None, rng=None, extract_layers=()):
+    """Run the tower. Returns (pooled_embedding, activations) where
+    ``activations`` collects post-block token states for layer indices in
+    ``extract_layers`` (the pyramid head's taps {3,6,9} — clip_adapter.py:104-107).
+    """
+    x = embed_patches(p, cfg, images, dtype=dtype)
+    activations = []
+    for i, blk in enumerate(p["blocks"]):
+        blk_rng = None
+        if rng is not None:
+            rng, blk_rng = jax.random.split(rng)
+        x = block_apply(blk, x, cfg, dtype=dtype, rng=blk_rng)
+        if i in extract_layers:
+            activations.append(x)
+
+    if cfg.final_norm == "all":
+        x = layernorm(p["norm"], x, eps=cfg.ln_eps)
+        pooled = x[:, 0, :]
+    else:  # 'cls': OpenAI ln_post on the CLS token only (model.py:252)
+        pooled = layernorm(p["norm"], x[:, 0, :], eps=cfg.ln_eps)
+
+    if "proj" in p:
+        pooled = linear(p["proj"], pooled, dtype=pooled.dtype)
+    return pooled, activations
+
+
+# Reference tower configurations ------------------------------------------------
+
+VIT_B16_TIMM = ViTConfig(act="gelu", use_ln_pre=False, patch_bias=True,
+                         final_norm="all", proj_dim=512, ln_eps=1e-6)
+VIT_B16_OPENAI = ViTConfig(act="quick_gelu", use_ln_pre=True, patch_bias=False,
+                           final_norm="cls", proj_dim=512, ln_eps=1e-5)

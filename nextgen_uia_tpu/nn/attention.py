@@ -1,0 +1,83 @@
+"""Multi-head attention with declarative LoRA slots.
+
+TPU-native replacement for the reference's two attention flavours
+(torch ``nn.MultiheadAttention`` in OpenAI CLIP, timm fused-qkv ``Attention``
+in BiomedCLIP — cf. /root/reference/src/adapters/lora.py:93-199,298-313).
+Both are expressed here as one implementation with separate q/k/v/o projection
+subtrees; checkpoint converters split fused qkv weights on load, so the model
+code never branches on layout.
+
+LoRA is NOT a wrapper module: if the attention param subtree contains a
+``lora`` entry ({'q': {'a','b'}, ...}), the low-rank update is added inline.
+This keeps everything jit-friendly and makes "injection" a pure function of
+the parameter tree (see adapters/lora.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .layers import linear, linear_init
+
+
+def attention_init(rng, dim: int, *, bias: bool = True):
+    ks = jax.random.split(rng, 4)
+    return {
+        "q": linear_init(ks[0], dim, dim, bias=bias),
+        "k": linear_init(ks[1], dim, dim, bias=bias),
+        "v": linear_init(ks[2], dim, dim, bias=bias),
+        "o": linear_init(ks[3], dim, dim, bias=bias),
+    }
+
+
+def _proj_with_lora(p, lora, name, x, *, dtype, lora_scale):
+    y = linear(p[name], x, dtype=dtype)
+    if lora is not None and name in lora:
+        la = lora[name]
+        # x @ A^T… in our [in, out] layout: x @ a [in, r] @ b [r, out]
+        delta = (x.astype(y.dtype) @ la["a"].astype(y.dtype)) @ la["b"].astype(y.dtype)
+        y = y + delta * lora_scale
+    return y
+
+
+def mha(p, x, *, num_heads: int, mask=None, dtype=None, lora_alpha: float | None = None):
+    """Self-attention over [B, N, D].
+
+    mask: optional additive mask broadcastable to [B, H, N, N] (e.g. causal).
+    LoRA scaling follows the reference: alpha / sqrt(r)
+    (/root/reference/src/adapters/lora.py:21).
+    """
+    b, n, d = x.shape
+    head_dim = d // num_heads
+    lora = p.get("lora")
+    lora_scale = 1.0
+    if lora is not None:
+        r = next(iter(lora.values()))["a"].shape[1]
+        lora_scale = (lora_alpha if lora_alpha is not None else 1.0) / math.sqrt(r)
+
+    q = _proj_with_lora(p, lora, "q", x, dtype=dtype, lora_scale=lora_scale)
+    k = _proj_with_lora(p, lora, "k", x, dtype=dtype, lora_scale=lora_scale)
+    v = _proj_with_lora(p, lora, "v", x, dtype=dtype, lora_scale=lora_scale)
+
+    q = q.reshape(b, n, num_heads, head_dim)
+    k = k.reshape(b, n, num_heads, head_dim)
+    v = v.reshape(b, n, num_heads, head_dim)
+
+    scale = 1.0 / math.sqrt(head_dim)
+    # [B, H, N, N] logits in f32 for numerical stability of the softmax
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = logits + mask
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+    out = out.reshape(b, n, d)
+    return _proj_with_lora(p, lora, "o", out, dtype=dtype, lora_scale=lora_scale)
+
+
+def causal_mask(n: int, dtype=jnp.float32):
+    """Additive causal mask [1, 1, N, N]; -inf above the diagonal."""
+    m = jnp.triu(jnp.full((n, n), -jnp.inf, dtype=dtype), k=1)
+    return m[None, None, :, :]

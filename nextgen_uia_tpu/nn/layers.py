@@ -1,0 +1,170 @@
+"""Functional neural-net primitives over explicit parameter pytrees.
+
+Design: every layer is a pair of plain functions — ``*_init(rng, ...) -> dict``
+building a parameter subtree, and an apply function taking ``(params, x)``.
+Parameters are always stored in float32; compute may run in bfloat16 by passing
+``dtype`` to the apply functions (LayerNorm statistics always run in float32,
+matching the reference's fp16-safe LayerNorm, cf.
+/root/reference/src/third_party/openai_clip/model.py:163-169).
+
+Weight layout conventions (JAX-native, converters transpose from torch):
+  - Linear ``w``: [in, out]
+  - Conv ``w``:  HWIO ([kh, kw, in_per_group, out])
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _uniform(rng, shape, bound, dtype=jnp.float32):
+    return jax.random.uniform(rng, shape, dtype, minval=-bound, maxval=bound)
+
+
+# ---------------------------------------------------------------------------
+# Linear
+# ---------------------------------------------------------------------------
+
+
+def linear_init(rng, in_dim: int, out_dim: int, *, bias: bool = True, std: float | None = None):
+    """Linear layer params. Default init matches torch nn.Linear (kaiming-uniform)."""
+    kw, kb = jax.random.split(rng)
+    if std is None:
+        bound = 1.0 / math.sqrt(in_dim)
+        w = _uniform(kw, (in_dim, out_dim), math.sqrt(3.0) * bound)
+    else:
+        w = jax.random.normal(kw, (in_dim, out_dim), jnp.float32) * std
+        bound = 1.0 / math.sqrt(in_dim)
+    p = {"w": w}
+    if bias:
+        p["b"] = _uniform(kb, (out_dim,), bound)
+    return p
+
+
+def linear(p, x, *, dtype=None):
+    w = p["w"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    y = x @ w
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm — statistics in float32 regardless of compute dtype
+# ---------------------------------------------------------------------------
+
+
+def layernorm_init(dim: int):
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layernorm(p, x, *, eps: float = 1e-5):
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(orig_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x):
+    """x * sigmoid(1.702 x) — OpenAI CLIP's activation (model.py:172-174)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTIVATIONS = {"gelu": gelu, "quick_gelu": quick_gelu, "relu": jax.nn.relu}
+
+
+# ---------------------------------------------------------------------------
+# Convolutions (NHWC / HWIO)
+# ---------------------------------------------------------------------------
+
+
+def conv_init(rng, kh: int, kw: int, in_ch: int, out_ch: int, *, groups: int = 1, bias: bool = True):
+    """Conv2d params; torch-style kaiming-uniform fan_in init."""
+    k1, k2 = jax.random.split(rng)
+    fan_in = kh * kw * (in_ch // groups)
+    bound = 1.0 / math.sqrt(fan_in)
+    w = _uniform(k1, (kh, kw, in_ch // groups, out_ch), math.sqrt(3.0) * bound)
+    p = {"w": w}
+    if bias:
+        p["b"] = _uniform(k2, (out_ch,), bound)
+    return p
+
+
+def conv2d(p, x, *, stride: int | Sequence[int] = 1, padding="SAME", groups: int = 1, dtype=None):
+    """x: [B, H, W, C] NHWC; returns NHWC."""
+    w = p["w"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=padding,
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Dropout (explicit rng; no-op when rng is None)
+# ---------------------------------------------------------------------------
+
+
+def dropout(rng, x, rate: float):
+    if rng is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Embedding
+# ---------------------------------------------------------------------------
+
+
+def embedding_init(rng, vocab: int, dim: int, *, std: float = 0.02):
+    return {"w": jax.random.normal(rng, (vocab, dim), jnp.float32) * std}
+
+
+def embedding(p, ids, *, dtype=None):
+    w = p["w"]
+    if dtype is not None:
+        w = w.astype(dtype)
+    return jnp.take(w, ids, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Interpolation
+# ---------------------------------------------------------------------------
+
+
+def resize_bilinear(x, out_hw, *, antialias: bool = False):
+    """Bilinear resize of NHWC batch to (H', W'); align_corners=False semantics."""
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="bilinear", antialias=antialias)
