@@ -93,10 +93,16 @@ def block_apply(p, x, cfg: ViTConfig, *, dtype=None, rng=None):
     """Pre-norm transformer block; MONA slot applied after the residual MLP
     (matching the reference's post-block injection, mona.py:667-676)."""
     act = ACTIVATIONS[cfg.act]
-    x = x + mha(p["attn"], layernorm(p["ln1"], x, eps=cfg.ln_eps),
-                num_heads=cfg.heads, dtype=dtype, lora_alpha=cfg.lora_alpha)
+    a = mha(p["attn"], layernorm(p["ln1"], x, eps=cfg.ln_eps),
+            num_heads=cfg.heads, dtype=dtype, lora_alpha=cfg.lora_alpha)
+    if "ls1" in p:  # DINOv2 LayerScale (dino/layers/layer_scale.py)
+        a = a * p["ls1"].astype(a.dtype)
+    x = x + a
     h = linear(p["mlp"]["fc1"], layernorm(p["ln2"], x, eps=cfg.ln_eps), dtype=dtype)
-    x = x + linear(p["mlp"]["fc2"], act(h), dtype=dtype)
+    m = linear(p["mlp"]["fc2"], act(h), dtype=dtype)
+    if "ls2" in p:
+        m = m * p["ls2"].astype(m.dtype)
+    x = x + m
     if "mona" in p:
         mona_rng = None
         if rng is not None:

@@ -131,6 +131,38 @@ def conv2d(p, x, *, stride: int | Sequence[int] = 1, padding="SAME", groups: int
 
 
 # ---------------------------------------------------------------------------
+# BatchNorm — explicit running-stat state threading (no mutation)
+# ---------------------------------------------------------------------------
+
+
+def batchnorm_init(dim: int):
+    params = {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+    state = {"mean": jnp.zeros((dim,), jnp.float32), "var": jnp.ones((dim,), jnp.float32)}
+    return params, state
+
+
+def batchnorm(p, state, x, *, train: bool, momentum: float = 0.1, eps: float = 1e-5):
+    """x: [..., C] (channel-last). Returns (y, new_state)."""
+    if train:
+        axes = tuple(range(x.ndim - 1))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=axes)
+        var = jnp.var(x32, axis=axes)
+        n = x.size // x.shape[-1]
+        unbiased = var * n / max(n - 1, 1)
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype), new_state
+
+
+# ---------------------------------------------------------------------------
 # Dropout (explicit rng; no-op when rng is None)
 # ---------------------------------------------------------------------------
 
