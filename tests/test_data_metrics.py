@@ -1,0 +1,164 @@
+"""Data pipeline, augmentation, tokenizer, and metric tests."""
+
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from reference_loader import available, load
+from synth_data import make_synth_root
+
+from nextgen_uia_tpu.data import datasets as D
+from nextgen_uia_tpu.data import pipeline as P
+from nextgen_uia_tpu.data.augment import augment_batch
+from nextgen_uia_tpu.data.tokenizer import BertTokenizer, ClipTokenizer
+from nextgen_uia_tpu.metrics import classification as MC
+from nextgen_uia_tpu.metrics import segmentation as MS
+
+
+def test_dataset_and_pipeline(tmp_path):
+    root, name, splits = make_synth_root(tmp_path)
+    ds = D.make_datasets(str(root), name, img_size=32, task="cls")
+    assert len(ds["train"]) == 4
+    item = ds["train"][0]
+    assert item["image"].shape == (32, 32) and item["image"].dtype == np.uint8
+
+    batches = list(P.batches(ds["train"], 2, shuffle=True, drop_last=True, seed=0))
+    assert len(batches) == 2 and batches[0]["image"].shape == (2, 32, 32)
+
+    # prefetch path with device transfer
+    got = list(P.prefetch_to_device(
+        P.batches(ds["train"], 2, shuffle=False, drop_last=False)))
+    assert len(got) == 2
+    x = P.to_model_input(np.asarray(got[0]["image"]))
+    assert x.shape == (2, 32, 32, 3) and x.max() <= 1.0
+
+    # zero-shot union split
+    zs = D.make_datasets(str(root), name, img_size=32, task="cls", zero_shot=True)
+    assert len(zs["test"]) == 12
+
+    # seg datasets
+    seg = D.make_datasets(str(root), name, img_size=32, task="seg")
+    m = seg["train"][1]["mask"]
+    assert set(np.unique(m)) <= {0, 1}
+
+
+def test_few_shot_sampling(tmp_path):
+    root, name, splits = make_synth_root(tmp_path, n=24)
+    labels = D.read_labels(str(root), name)
+    names = splits["train"]
+    rng = np.random.default_rng(0)
+    k2 = D.sample_few_shot(names, labels, rng=rng, shots_per_class=2)
+    assert len(k2) == 4
+    by_cls = {0: 0, 1: 0}
+    for n in k2:
+        by_cls[labels[n]] += 1
+    assert by_cls == {0: 2, 1: 2}
+    half = D.sample_few_shot(names, labels, rng=rng, train_ratio=0.5)
+    assert len(half) == len(names) // 2
+
+
+def test_augment_batch_shapes_and_determinism():
+    rng = jax.random.key(0)
+    imgs = jax.random.uniform(jax.random.key(1), (4, 32, 32, 1))
+    masks = (jax.random.uniform(jax.random.key(2), (4, 32, 32, 1)) > 0.5).astype(np.float32)
+    out1, m1 = augment_batch(rng, imgs, masks, strong=True, weak=True)
+    out2, m2 = augment_batch(rng, imgs, masks, strong=True, weak=True)
+    assert out1.shape == imgs.shape and m1.shape == masks.shape
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))  # same key -> same aug
+    assert np.asarray(out1).min() >= 0.0 and np.asarray(out1).max() <= 1.0
+    assert set(np.unique(np.asarray(m1))) <= {0.0, 1.0}
+    # weak-only path keeps masks aligned for flips: flipping a mask-only blob
+    out3, m3 = augment_batch(rng, imgs, masks, strong=False, weak=True)
+    assert np.isfinite(np.asarray(out3)).all()
+
+
+@pytest.mark.skipif(not available(), reason="reference repo not mounted")
+def test_clip_tokenizer_parity():
+    """Golden parity with the reference SimpleTokenizer + clip.tokenize."""
+    import types
+
+    if "ftfy" not in sys.modules:  # reference imports ftfy, absent here
+        fake = types.ModuleType("ftfy")
+        fake.fix_text = lambda s: s
+        sys.modules["ftfy"] = fake
+    ref_st = load("src/third_party/openai_clip/simple_tokenizer.py", "ref_simple_tokenizer")
+    ref = ref_st.SimpleTokenizer()
+    ours = ClipTokenizer()
+
+    texts = [
+        "A benign lymph node with an oval shape and a preserved fatty hilum",
+        "a malignant nodule, with spiculated margins!! 123",
+        "Benign breast lesion: Oval shape, smooth margins & posterior enhancement.",
+    ]
+    for t in texts:
+        assert ours.encode(t) == ref.encode(t), t
+
+    # context assembly parity with clip.tokenize (77 ctx, sot/eot, pad)
+    ids = ours(texts)
+    assert ids.shape == (3, 77)
+    for i, t in enumerate(texts):
+        ref_ids = [ref.encoder["<|startoftext|>"]] + ref.encode(t) + [ref.encoder["<|endoftext|>"]]
+        np.testing.assert_array_equal(ids[i, :len(ref_ids)], ref_ids)
+        assert ids[i, len(ref_ids):].sum() == 0
+
+
+def test_bert_tokenizer():
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "benign", "node", "no", "##de", "malignant"]
+    tok = BertTokenizer(vocab, context_length=8)
+    ids = tok(["a benign node", "unknownword node"])
+    assert ids.shape == (2, 8)
+    assert ids[0, 0] == 2 and tok.vocab["[SEP]"] in ids[0]
+    assert ids[0, 1] == 4 and ids[0, 2] == 5 and ids[0, 3] == 6
+    assert ids[1, 1] == 1  # UNK
+
+
+def test_classification_metrics_vs_sklearnlike():
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 2, 200)
+    logits = rng.normal(size=(200, 2)).astype(np.float32)
+    logits[:, 1] += labels * 2.0
+    rep = MC.classification_report(logits, labels)
+    assert 0.5 < rep["auc"] <= 1.0
+    assert 0 <= rep["acc"] <= 1
+    # AUROC degenerate cases
+    perfect = np.zeros((10, 2), np.float32)
+    perfect[:, 1] = np.r_[np.zeros(5), np.ones(5)] * 10 - 5
+    assert MC.classification_report(perfect, np.r_[np.zeros(5), np.ones(5)])["auc"] == 1.0
+
+
+def test_segmentation_metrics_semantics():
+    # pred == gt -> dice=iou=1, hd95=asd=0
+    gt = np.zeros((2, 1, 16, 16), np.uint8)
+    gt[:, :, 4:12, 4:12] = 1
+    logits = np.zeros((2, 2, 16, 16), np.float32)
+    logits[:, 1] = gt[:, 0] * 10.0 - 5.0
+    preds = MS.one_hot_argmax(logits)
+    np.testing.assert_allclose(MS.dice(preds, gt), [1.0, 1.0])
+    np.testing.assert_allclose(MS.iou(preds, gt), [1.0, 1.0])
+    np.testing.assert_allclose(MS.hd95(preds, gt), [0.0, 0.0])
+    np.testing.assert_allclose(MS.asd(preds, gt), [0.0, 0.0])
+
+    # shifted prediction -> hd95 equals the shift distance
+    shifted = np.zeros_like(logits)
+    shifted[:, 1, 6:14, 4:12] = 10.0
+    shifted[:, 0] = 5.0 - shifted[:, 1]
+    p2 = MS.one_hot_argmax(shifted)
+    hd = MS.hd95(p2, gt)
+    assert np.all(hd >= 1.0) and np.all(hd <= 4.0)
+
+    # empty prediction -> non-finite, filtered by accumulator
+    empty = np.zeros_like(logits)
+    empty[:, 0] = 1.0
+    p3 = MS.one_hot_argmax(empty)
+    assert not np.isfinite(MS.hd95(p3, gt)).any()
+
+    acc = MS.SegAccumulator()
+    acc.update(logits, gt)
+    acc.update(empty, gt)
+    stats = acc.compute()
+    # dice: [1,1] from perfect + [0,0] from empty (finite) -> mean 0.5
+    assert stats["dice_mean"] == 0.5
+    # hd95: empty-pred infs are filtered -> mean over the perfect pair = 0
+    assert stats["hd95_mean"] == 0.0
