@@ -1,0 +1,61 @@
+"""Component-scoped checkpoints.
+
+Reference semantics (SURVEY.md §5.4): best-model checkpoints contain only the
+trainable component subtree (adapter-only for finetune — finetune.py:200-208;
+{reduces, blocks, head, mona} for supervised tasks — segmentation.py:236-246)
+and are loaded by *name-intersection merge* with ``assert loaded > 0``
+(zero_shot.py:136-147).
+
+Format: a single ``.npz`` holding path->array pairs with '/'-joined pytree
+paths (core/partition.py). Dependency-free, layout-stable, and merge-by-name
+falls out naturally. Nested list indices are part of the path, so round-trips
+through differently-shaped trees fail loudly instead of silently.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import jax
+import numpy as np
+
+from .partition import flatten_with_paths, path_str
+
+
+def save(path: str, params, *, keyword_filter=None) -> int:
+    """Save (optionally keyword-filtered) params; returns count saved."""
+    flat = {p: np.asarray(v) for p, v in flatten_with_paths(params) if v is not None}
+    if keyword_filter:
+        kws = [k.lower() for k in keyword_filter]
+        flat = {p: v for p, v in flat.items() if any(k in p.lower() for k in kws)}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+    return len(flat)
+
+
+def load_into(path: str, params):
+    """Name-intersection merge of a saved checkpoint into a param tree.
+
+    Returns (new_params, loaded_count); raises if nothing matched (mirroring
+    the reference's ``assert mona_params_loaded > 0``).
+    """
+    with np.load(path) as data:
+        saved = {k: data[k] for k in data.files}
+
+    counter = {"n": 0}
+
+    def merge_leaf(p, v):
+        key = path_str(p)
+        if key in saved:
+            arr = saved[key]
+            if v is not None and tuple(arr.shape) != tuple(np.shape(v)):
+                raise ValueError(f"Shape mismatch for {key}: ckpt {arr.shape} vs model {np.shape(v)}")
+            counter["n"] += 1
+            return jax.numpy.asarray(arr)
+        return v
+
+    new_params = jax.tree_util.tree_map_with_path(merge_leaf, params)
+    if counter["n"] == 0:
+        raise ValueError(f"No parameters from {path} matched the model tree")
+    return new_params, counter["n"]

@@ -1,0 +1,145 @@
+"""The shared jitted train-step engine.
+
+One engine powers every task driver (SURVEY.md §7 "one jitted train-step
+engine parameterized by (model_fn, loss_fn, metrics) that all task CLIs
+share"), replacing the reference's 24 near-identical hand-written loops.
+
+Reference training semantics reproduced (finetune.py:211-361,
+segmentation.py:152-281):
+  - AdamW (betas 0.9/0.95 for finetune, 0.9/0.999 supervised), wd 0.01
+  - cosine LR per *update* from lr to lr_min over total updates
+  - gradient accumulation: K microbatches per update, loss averaged
+  - global-norm gradient clipping (max_norm 1.0)
+  - non-finite-loss microbatches are skipped (their grads are zeroed)
+
+TPU-first: accumulation runs as a lax.scan over microbatches *inside* the
+jitted step — one compiled program per update, weights read once per
+microbatch from HBM, no Python-side accumulation. Data parallelism falls out
+of sharded batch inputs; XLA inserts the psum over the 'data' axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    lr: float = 1e-4
+    lr_min: float = 1e-8
+    weight_decay: float = 0.01
+    beta1: float = 0.9
+    beta2: float = 0.95
+    grad_clip: float = 1.0
+    accum_steps: int = 1
+    total_updates: int = 1000
+
+
+def make_optimizer(cfg: TrainConfig):
+    schedule = optax.cosine_decay_schedule(
+        init_value=cfg.lr, decay_steps=max(cfg.total_updates, 1),
+        alpha=cfg.lr_min / cfg.lr if cfg.lr > 0 else 0.0)
+    return optax.adamw(schedule, b1=cfg.beta1, b2=cfg.beta2,
+                       weight_decay=cfg.weight_decay), schedule
+
+
+def init_state(trainable_params, optimizer):
+    return {"params": trainable_params, "opt": optimizer.init(trainable_params),
+            "step": jnp.zeros((), jnp.int32)}
+
+
+def make_train_step(loss_fn: Callable[..., Any], optimizer, cfg: TrainConfig,
+                    *, donate: bool = True, extra_shardings=None):
+    """Build the jitted update function.
+
+    loss_fn(trainable_params, frozen_params, microbatch, rng) -> scalar loss
+    (or (loss, aux) — detected via has_aux=False here; keep it scalar).
+
+    Returned step(state, frozen, batch, rng) expects batch leaves shaped
+    [accum_steps, micro_bs, ...] (use ``stack_microbatches``) and returns
+    (new_state, metrics dict with 'loss', 'grad_norm', 'skipped').
+    """
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def step(state, frozen, batch, rng):
+        params = state["params"]
+
+        def micro(carry, xs):
+            grads_acc, loss_acc, count = carry
+            mb, mb_rng = xs
+            loss, grads = grad_fn(params, frozen, mb, mb_rng)
+            ok = jnp.isfinite(loss)
+            # skip non-finite microbatches (finetune.py:281-285)
+            grads = jax.tree_util.tree_map(
+                lambda g, a: a + jnp.where(ok, g, 0.0), grads, grads_acc)
+            return (grads, loss_acc + jnp.where(ok, loss, 0.0), count + ok), None
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        rngs = jax.random.split(rng, cfg.accum_steps)
+        (grads, loss_sum, n_ok), _ = jax.lax.scan(
+            micro, (zero_grads, 0.0, jnp.zeros((), jnp.int32)), (batch, rngs))
+
+        denom = jnp.maximum(n_ok, 1).astype(jnp.float32)
+        grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
+
+        gnorm = optax.global_norm(grads)
+        if cfg.grad_clip > 0:
+            scale = jnp.minimum(1.0, cfg.grad_clip / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+        updates, new_opt = optimizer.update(grads, state["opt"], params)
+        new_params = optax.apply_updates(params, updates)
+        # if every microbatch was non-finite, keep previous params
+        any_ok = n_ok > 0
+        new_params = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(any_ok, n, o), new_params, params)
+        new_state = {"params": new_params, "opt": new_opt, "step": state["step"] + 1}
+        metrics = {"loss": loss_sum / denom, "grad_norm": gnorm,
+                   "skipped": cfg.accum_steps - n_ok}
+        return new_state, metrics
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)
+
+
+def stack_microbatches(batch: dict, accum_steps: int):
+    """Reshape batch leaves [B, ...] -> [accum, B//accum, ...]."""
+    def r(x):
+        b = x.shape[0]
+        micro = b // accum_steps
+        return x[: accum_steps * micro].reshape(accum_steps, micro, *x.shape[1:])
+    return {k: r(v) for k, v in batch.items()}
+
+
+class EarlyStopper:
+    """Best-metric tracking + patience early stop (finetune.py:335-356)."""
+
+    def __init__(self, patience: int, mode: str = "min"):
+        self.patience = patience
+        self.mode = mode
+        self.best = None
+        self.best_step = -1
+        self.counter = 0
+
+    def update(self, value: float, step: int) -> bool:
+        """Returns True when this is a new best."""
+        better = (self.best is None
+                  or (self.mode == "min" and value < self.best)
+                  or (self.mode == "max" and value > self.best))
+        if better:
+            self.best = value
+            self.best_step = step
+            self.counter = 0
+            return True
+        self.counter += 1
+        return False
+
+    @property
+    def should_stop(self) -> bool:
+        return self.counter >= self.patience

@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The axon sitecustomize force-registers the TPU platform (jax_platforms
+# becomes "axon,cpu") regardless of JAX_PLATFORMS; override it here before
+# any backend initialisation so tests run on the 8-device virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np

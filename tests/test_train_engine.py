@@ -1,0 +1,130 @@
+"""Train-step engine, checkpointing, and multi-device sharding tests."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nextgen_uia_tpu.core import checkpoint as ckpt
+from nextgen_uia_tpu.core import train as T
+from nextgen_uia_tpu.core.mesh import (batch_sharding, make_mesh, param_spec,
+                                       shard_params)
+from nextgen_uia_tpu.core.partition import by_keywords, merge, partition
+
+
+def _toy_loss(params, frozen, batch, rng):
+    pred = batch["x"] @ params["w"] + frozen["b"]
+    return jnp.mean((pred - batch["y"]) ** 2)
+
+
+def test_train_step_converges():
+    cfg = T.TrainConfig(lr=0.1, accum_steps=2, total_updates=100, grad_clip=1.0)
+    opt, _ = T.make_optimizer(cfg)
+    params = {"w": jnp.zeros((4, 1))}
+    frozen = {"b": jnp.zeros((1,))}
+    state = T.init_state(params, opt)
+    step = T.make_train_step(_toy_loss, opt, cfg, donate=False)
+
+    true_w = jnp.array([[1.0], [-2.0], [0.5], [3.0]])
+    k = jax.random.key(0)
+    losses = []
+    for i in range(60):
+        k, k1, k2 = jax.random.split(k, 3)
+        x = jax.random.normal(k1, (8, 4))
+        y = x @ true_w
+        batch = T.stack_microbatches({"x": x, "y": y}, cfg.accum_steps)
+        state, m = step(state, frozen, batch, k2)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.05
+    assert int(state["step"]) == 60
+
+
+def test_train_step_skips_nonfinite():
+    cfg = T.TrainConfig(lr=0.1, accum_steps=2, total_updates=10)
+    opt, _ = T.make_optimizer(cfg)
+    params = {"w": jnp.ones((2, 1))}
+    state = T.init_state(params, opt)
+    step = T.make_train_step(_toy_loss, opt, cfg, donate=False)
+    x = jnp.ones((4, 2))
+    y = jnp.full((4, 1), jnp.nan)  # all-nan loss -> both microbatches skipped
+    batch = T.stack_microbatches({"x": x, "y": y}, 2)
+    state2, m = step(state, {"b": jnp.zeros(1)}, batch, jax.random.key(0))
+    assert int(m["skipped"]) == 2
+    np.testing.assert_allclose(np.asarray(state2["params"]["w"]),
+                               np.asarray(params["w"]))  # params unchanged
+
+
+def test_early_stopper():
+    es = T.EarlyStopper(patience=2, mode="min")
+    assert es.update(1.0, 0) and not es.should_stop
+    assert not es.update(1.5, 1)
+    assert not es.update(1.4, 2) and es.should_stop
+    assert es.best == 1.0 and es.best_step == 0
+
+
+def test_checkpoint_roundtrip_and_filter(tmp_path):
+    params = {"visual": {"blocks": [{"mona": {"w": jnp.ones((2, 2))},
+                                     "attn": {"q": {"w": jnp.zeros((2, 2))}}}]}}
+    p = str(tmp_path / "best.npz")
+    n = ckpt.save(p, params, keyword_filter=["mona"])
+    assert n == 1
+    target = jax.tree_util.tree_map(lambda x: x * 0 + 5.0, params)
+    loaded, count = ckpt.load_into(p, target)
+    assert count == 1
+    np.testing.assert_allclose(np.asarray(loaded["visual"]["blocks"][0]["mona"]["w"]), 1.0)
+    np.testing.assert_allclose(np.asarray(loaded["visual"]["blocks"][0]["attn"]["q"]["w"]), 5.0)
+
+
+def test_mesh_sharded_data_parallel_step():
+    """Full DP train step over an 8-device CPU mesh: batch sharded on 'data',
+    params replicated; loss/grads must match the single-device result."""
+    mesh = make_mesh(n_data=8, n_model=1)
+    cfg = T.TrainConfig(lr=0.1, accum_steps=1, total_updates=10)
+    opt, _ = T.make_optimizer(cfg)
+    params = {"w": jnp.zeros((4, 1))}
+    frozen = {"b": jnp.zeros((1,))}
+
+    x = jax.random.normal(jax.random.key(1), (16, 4))
+    y = x @ jnp.array([[1.0], [2.0], [3.0], [4.0]])
+
+    state = T.init_state(params, opt)
+    step = T.make_train_step(_toy_loss, opt, cfg, donate=False)
+    batch = T.stack_microbatches({"x": x, "y": y}, 1)
+    ref_state, ref_m = step(state, frozen, batch, jax.random.key(0))
+
+    bs = batch_sharding(mesh)
+    sharded_batch = {k: jax.device_put(v, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data")))
+                     for k, v in batch.items()}
+    state2 = T.init_state(params, opt)
+    dp_state, dp_m = step(state2, frozen, sharded_batch, jax.random.key(0))
+    np.testing.assert_allclose(float(dp_m["loss"]), float(ref_m["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dp_state["params"]["w"]),
+                               np.asarray(ref_state["params"]["w"]), rtol=1e-5)
+
+
+def test_param_spec_policy():
+    assert param_spec("visual/blocks/0/mlp/fc1/w", (768, 3072), model_axis_size=2) == \
+        jax.sharding.PartitionSpec(None, "model")
+    assert param_spec("visual/blocks/0/mona/down/w", (768, 64), model_axis_size=2) == \
+        jax.sharding.PartitionSpec()
+    assert param_spec("visual/norm/scale", (768,), model_axis_size=2) == \
+        jax.sharding.PartitionSpec()
+    # odd trailing dim falls back to leading-dim sharding
+    assert param_spec("text/token_embedding/w", (49408, 512), model_axis_size=2) == \
+        jax.sharding.PartitionSpec(None, "model")
+
+
+def test_model_sharded_vit_forward():
+    """ViT forward with frozen weights sharded over a ('data','model') mesh."""
+    from nextgen_uia_tpu.models.vit import ViTConfig, vit_apply, vit_init
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    cfg = ViTConfig(image_size=32, patch_size=16, width=64, depth=2, heads=4, proj_dim=32)
+    params = vit_init(jax.random.key(0), cfg)
+    ref, _ = vit_apply(params, cfg, jnp.ones((8, 32, 32, 3)))
+
+    sharded = shard_params(params, mesh)
+    x = jax.device_put(jnp.ones((8, 32, 32, 3)), batch_sharding(mesh))
+    out, _ = jax.jit(lambda p, x: vit_apply(p, cfg, x))(sharded, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
