@@ -188,7 +188,9 @@ def embedding(p, ids, *, dtype=None):
     w = p["w"]
     if dtype is not None:
         w = w.astype(dtype)
-    return jnp.take(w, ids, axis=0)
+    # 'clip' mode: out-of-vocab ids clamp instead of jnp.take's NaN fill —
+    # jit-safe behaviour for mismatched tokenizer/vocab combinations.
+    return jnp.take(w, ids, axis=0, mode="clip")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,284 @@
+"""Contrastive fine-tuning and image-text retrieval for the CLIP families.
+
+finetune_main reproduces src/models/biomedclip/finetune.py:211-361 semantics:
+methods {full, mona, lora} with layer-subset tuning, AdamW(0.9, 0.95) wd 0.01,
+per-update cosine schedule over ceil(steps/accum)*epochs updates, gradient
+accumulation (default 4) + clip 1.0, non-finite-loss skipping, best-by-val-
+loss adapter-only checkpoints, early stop patience 10, lr auto-clamp to 1e-6
+for full fine-tuning (finetune.py:160-162). TPU-native: the accumulation loop
+is a lax.scan inside one jitted step; batches are sharded over the mesh's
+'data' axis.
+
+retrieval_main implements the retrieval evaluation the reference *intends*
+but ships broken (src/models/biomedclip/retrieval.py imports two modules that
+don't exist — SURVEY.md §0): Recall@{1,5,10}, MedR, MeanR, rSum over an
+image-caption CSV, both I2T and T2I.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import checkpoint as ckpt
+from ..core import train as T
+from ..core.experiment import TBWriter, model_summary, save_results_csv, setup_logging
+from ..core.mesh import batch_sharding, make_mesh
+from ..core.partition import by_keywords, merge, partition
+from ..data import datasets as D
+from ..data import pipeline as P
+from ..losses import info_nce
+from ..models import clip as clip_mod
+from .common import (base_parser, build_clip_model, get_text_tokenizer,
+                     resolve_mona_variant, seed_everything, setup_run)
+
+
+def _finetune_parser(family: str):
+    p = base_parser(f"{family}_finetune", batch_size=64, epochs=32, patience=10)
+    p.add_argument("--method", type=str, default="full", choices=["full", "mona", "lora"])
+    p.add_argument("--tune_text_encoder", default=False, action="store_true")
+    p.add_argument("--tune_layers", type=str, default="all",
+                   choices=["last3", "last6", "last9", "all"])
+    p.add_argument("--temperature", type=float, default=0.07)
+    p.add_argument("--beta1_adam", type=float, default=0.9)
+    p.add_argument("--beta2_adam", type=float, default=0.95)
+    p.add_argument("--accumulation_steps", type=int, default=4)
+    p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--finetune_csvs", type=str, nargs="*", default=None,
+                   help="caption CSVs (default: MedPix + PMC-CURD under data_root)")
+    p.add_argument("--finetune_img_dirs", type=str, nargs="*", default=None)
+    return p
+
+
+def _full_ft_predicate(args, depth: int = 12):
+    """Path predicate for full fine-tuning with layer subsets / frozen text
+    (finetune.py:140-158)."""
+    layer_map = {"last3": 3, "last6": 6, "last9": 9, "all": depth}
+    n = layer_map[args.tune_layers]
+    first = depth - n
+
+    def pred(path: str) -> bool:
+        if path.startswith("text") and not args.tune_text_encoder:
+            return False
+        if path.startswith("visual/blocks/"):
+            idx = int(path.split("/")[2])
+            return idx >= first
+        if path.startswith("visual/") and args.tune_layers != "all":
+            return False
+        return True
+
+    return pred
+
+
+def finetune_main(family: str, argv=None):
+    args = _finetune_parser(family).parse_args(argv)
+    rng = seed_everything(args.seed)
+    run_path = os.path.join("runs", args.exp)
+    os.makedirs(run_path, exist_ok=True)
+    setup_logging(args, run_path)
+    args.train_snapshot_path = run_path
+
+    if args.method == "full" and args.lr > 1e-5:
+        args.lr = 1e-6
+        logging.info(f"Adjusted learning rate to {args.lr} for full fine-tuning")
+
+    adapter = args.method if args.method in ("mona", "lora") else None
+    cfg, params = build_clip_model(args, family, adapter=adapter, rng=rng)
+    tokenizer = get_text_tokenizer(args, family)
+
+    if args.method == "mona":
+        pred = by_keywords("mona")
+    elif args.method == "lora":
+        pred = by_keywords("lora")
+    else:
+        pred = _full_ft_predicate(args, depth=cfg.vision.depth)
+    trainable, frozen = partition(params, pred)
+    logging.info(model_summary({"model": params}, trainable_pred=pred))
+
+    # data
+    csvs = args.finetune_csvs
+    img_dirs = args.finetune_img_dirs
+    if not csvs:
+        base = os.path.join(args.data_root, "finetune")
+        csvs = [os.path.join(base, "medpix_dataset", "medpix_dataset.csv"),
+                os.path.join(base, "pmc_curd_dataset", "pmc_curd_dataset.csv")]
+        img_dirs = [os.path.join(base, "medpix_dataset", "images"),
+                    os.path.join(base, "pmc_curd_dataset", "images")]
+        csvs = [c for c in csvs if os.path.exists(c)]
+    train_rows, val_rows = D.load_finetune_rows(csvs, img_dirs, seed=args.seed)
+    train_ds = D.FinetuneDataset(train_rows, args.img_size)
+    val_ds = D.FinetuneDataset(val_rows, args.img_size)
+    logging.info(f"Train samples: {len(train_ds)}, Val samples: {len(val_ds)}")
+
+    ctx = cfg.text.context_length
+    mesh = make_mesh(args.n_data, args.n_model)
+    bsh = batch_sharding(mesh)
+
+    steps = max(len(train_ds) // args.batch_size, 1)
+    updates_per_epoch = math.ceil(steps / args.accumulation_steps)
+    total_updates = updates_per_epoch * args.epochs
+    logging.info(f"Updates per epoch: {updates_per_epoch}; total: {total_updates}")
+
+    tcfg = T.TrainConfig(lr=args.lr, lr_min=args.lr_min, weight_decay=args.weight_decay,
+                         beta1=args.beta1_adam, beta2=args.beta2_adam,
+                         grad_clip=args.grad_clip, accum_steps=args.accumulation_steps,
+                         total_updates=total_updates)
+    opt, _ = T.make_optimizer(tcfg)
+    state = T.init_state(trainable, opt)
+
+    def loss_fn(trainable_p, frozen_p, batch, rng):
+        p = merge(trainable_p, frozen_p)
+        x = batch["image"].astype(jnp.float32) / 255.0
+        img_feats, _ = clip_mod.encode_image(p, cfg, x, rng=rng)
+        txt_feats = clip_mod.encode_text(p, cfg, batch["tokens"])
+        return info_nce(img_feats, txt_feats, temperature=args.temperature)
+
+    step = T.make_train_step(loss_fn, opt, tcfg)
+
+    @jax.jit
+    def val_loss_fn(trainable_p, frozen_p, batch):
+        p = merge(trainable_p, frozen_p)
+        x = batch["image"].astype(jnp.float32) / 255.0
+        img_feats, _ = clip_mod.encode_image(p, cfg, x)
+        txt_feats = clip_mod.encode_text(p, cfg, batch["tokens"])
+        return info_nce(img_feats, txt_feats, temperature=args.temperature)
+
+    def tokenized_batches(ds, shuffle, drop_last, seed):
+        for b in P.batches(ds, args.batch_size, shuffle=shuffle, drop_last=drop_last,
+                           seed=seed, workers=args.num_workers):
+            b["tokens"] = np.asarray(tokenizer(b["caption"], ctx))
+            del b["caption"]
+            yield b
+
+    writer = TBWriter(os.path.join(run_path, "log"))
+    stopper = T.EarlyStopper(args.patience, mode="min")
+    ckpt_keywords = {"mona": ["mona"], "lora": ["lora"], "full": None}[args.method]
+    best_path = os.path.join(run_path, "best_model.npz")
+    k = jax.random.fold_in(rng, 1)
+
+    update_count = 0
+    for epoch in range(args.epochs):
+        epoch_loss, nb = 0.0, 0
+        for batch in P.prefetch_to_device(
+                tokenized_batches(train_ds, True, True, args.seed + epoch), sharding=bsh):
+            k, k1 = jax.random.split(k)
+            mb = T.stack_microbatches(batch, args.accumulation_steps)
+            state, m = step(state, frozen, mb, k1)
+            update_count += 1
+            loss = float(m["loss"])
+            epoch_loss += loss
+            nb += 1
+            writer.scalar("train/loss_per_update", loss, update_count)
+            if int(m["skipped"]):
+                logging.warning(f"{int(m['skipped'])} non-finite microbatches skipped "
+                                f"at update {update_count}")
+
+        val_losses = [float(val_loss_fn(state["params"], frozen, b))
+                      for b in P.prefetch_to_device(
+                          tokenized_batches(val_ds, False, False, None), sharding=None)]
+        val_losses = [v for v in val_losses if np.isfinite(v)]
+        avg_val = float(np.mean(val_losses)) if val_losses else 0.0
+        avg_train = epoch_loss / max(nb, 1)
+        writer.scalar("val/loss_per_epoch", avg_val, epoch + 1)
+        writer.scalar("train/loss_per_epoch", avg_train, epoch + 1)
+        logging.info(f"Epoch {epoch + 1}: Train={avg_train:.4f}, Val={avg_val:.4f}, "
+                     f"Best={stopper.best if stopper.best is not None else float('inf'):.4f}")
+
+        if stopper.update(avg_val, epoch):
+            full = merge(state["params"], frozen)
+            n = ckpt.save(best_path, full, keyword_filter=ckpt_keywords)
+            logging.info(f"Best model saved ({n} tensors) at epoch {epoch + 1} "
+                         f"with validation loss {stopper.best:.4f}")
+        if stopper.should_stop:
+            logging.info(f"Early stopping at epoch {epoch + 1}")
+            break
+
+    writer.close()
+    logging.info(f"Training completed. Best val loss {stopper.best:.4f} "
+                 f"at epoch {stopper.best_step + 1}")
+    return {"best_val_loss": stopper.best, "best_epoch": stopper.best_step}
+
+
+# ---------------------------------------------------------------------------
+# Retrieval
+# ---------------------------------------------------------------------------
+
+
+def retrieval_metrics(sim: np.ndarray):
+    """sim [N_img, N_txt] with ground-truth on the diagonal. Returns I2T and
+    T2I Recall@{1,5,10}, MedR, MeanR and rSum (retrieval.py:229-248 names)."""
+    def directed(s):
+        order = np.argsort(-s, axis=1)
+        ranks = np.empty(s.shape[0])
+        for i in range(s.shape[0]):
+            ranks[i] = np.nonzero(order[i] == i)[0][0]
+        return {
+            "r1": float(np.mean(ranks < 1) * 100),
+            "r5": float(np.mean(ranks < 5) * 100),
+            "r10": float(np.mean(ranks < 10) * 100),
+            "medr": float(np.median(ranks) + 1),
+            "meanr": float(np.mean(ranks) + 1),
+        }
+
+    i2t = directed(sim)
+    t2i = directed(sim.T)
+    rsum = sum(i2t[k] for k in ("r1", "r5", "r10")) + sum(t2i[k] for k in ("r1", "r5", "r10"))
+    return {"i2t": i2t, "t2i": t2i, "rsum": rsum}
+
+
+def retrieval_main(family: str, argv=None):
+    p = base_parser(f"{family}_retrieval", batch_size=64)
+    p.add_argument("--csv", type=str, required=False, default=None,
+                   help="CSV with filename,Caption columns (e.g. ROCO-v2 test)")
+    p.add_argument("--img_dir", type=str, default=None)
+    p.add_argument("--caption_key", type=str, default="Caption")
+    p.add_argument("--img_key", type=str, default="filename")
+    args = p.parse_args(argv)
+    rng = seed_everything(args.seed)
+    run_path = setup_run(args, "test")
+
+    adapter = "lora" if args.lora_weights else ("mona" if args.mona_weights else None)
+    cfg, params = build_clip_model(args, family, adapter=adapter, rng=rng)
+    tokenizer = get_text_tokenizer(args, family)
+
+    import pandas as pd
+
+    df = pd.read_csv(args.csv)
+    rows = []
+    for _, r in df.iterrows():
+        path = os.path.join(args.img_dir or ".", os.path.basename(str(r[args.img_key])))
+        if os.path.exists(path):
+            rows.append((path, D.clean_caption(r[args.caption_key])))
+    ds = D.FinetuneDataset(rows, args.img_size)
+    logging.info(f"Retrieval set: {len(ds)} pairs")
+
+    ctx = cfg.text.context_length
+
+    @jax.jit
+    def feats_fn(p, images, tokens):
+        x = images.astype(jnp.float32) / 255.0
+        img, _ = clip_mod.encode_image(p, cfg, x)
+        txt = clip_mod.encode_text(p, cfg, tokens)
+        return clip_mod.normalize(img), clip_mod.normalize(txt)
+
+    all_img, all_txt = [], []
+    for b in P.batches(ds, args.batch_size, shuffle=False, drop_last=False,
+                       workers=args.num_workers):
+        tokens = jnp.asarray(tokenizer(b["caption"], ctx))
+        fi, ft = feats_fn(params, jnp.asarray(b["image"]), tokens)
+        all_img.append(np.asarray(fi))
+        all_txt.append(np.asarray(ft))
+
+    sim = np.concatenate(all_img) @ np.concatenate(all_txt).T
+    m = retrieval_metrics(sim)
+    flat = {f"i2t_{k}": v for k, v in m["i2t"].items()}
+    flat.update({f"t2i_{k}": v for k, v in m["t2i"].items()})
+    flat["rsum"] = m["rsum"]
+    logging.info("  ".join(f"{k}={v:.2f}" for k, v in flat.items()))
+    save_results_csv(flat, os.path.join(run_path, "results.csv"), scale100=())
+    return flat

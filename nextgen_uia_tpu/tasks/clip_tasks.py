@@ -1,0 +1,335 @@
+"""Generic task drivers for the CLIP families (biomedclip/openai/metaclip/
+unimedclip): zero-shot classification, supervised classification and
+segmentation (incl. few-shot variants).
+
+One implementation per task, parameterized by family — the reference's 20
+near-identical scripts under src/models/{biomedclip,clip,metaclip,unimedclip}
+collapse onto these entry points; per-family CLI wrappers stay 3 lines.
+
+Reference semantics preserved per task:
+  - zero-shot (zero_shot.py:155-277): 10-prompt ensembles per class, L2
+    normalization, logits = mean over prompts of 100*cos, prompt-similarity
+    warning > 0.95, feature-collapse eigenvalue check, metrics + ROC + CSV in
+    a timestamped acc-tagged folder.
+  - supervised (classification.py/segmentation.py): pyramid head over taps
+    {3,6,9}, FocalLoss / DiceCELoss, AdamW + per-update cosine, validate
+    every 10 epochs (test split also evaluated mid-training), best-by-
+    acc/dice component checkpoint {head + adapters}, patience 15, final test
+    with overlays + results.csv + backup folder.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import checkpoint as ckpt
+from ..core import train as T
+from ..core.experiment import (archive_log, backup_folder, model_summary,
+                               save_results_csv, setup_logging, TBWriter)
+from ..core.partition import by_keywords, merge, partition
+from ..data import datasets as D
+from ..data import pipeline as P
+from ..data.augment import augment_batch
+from ..losses import cross_entropy, dice_ce_loss, focal_loss
+from ..metrics.segmentation import ClsAccumulator, SegAccumulator, one_hot_argmax
+from ..models import clip as clip_mod
+from ..models.heads import PyramidHeadConfig, pyramid_head_apply, pyramid_head_init
+from ..utils.viz import plot_roc, visualize_seg
+from . import prompts as PR
+from .common import (base_parser, build_clip_model, get_text_tokenizer,
+                     seed_everything, setup_run)
+
+def extract_layers_for(depth: int):
+    """Pyramid taps {3,6,9} for ViT-B (clip_adapter.py extract_layers default);
+    last three blocks for shrunk debug towers."""
+    return (3, 6, 9) if depth >= 10 else tuple(range(max(depth - 3, 0), depth))
+
+
+# ---------------------------------------------------------------------------
+# Zero-shot classification
+# ---------------------------------------------------------------------------
+
+
+def zero_shot_main(family: str, argv=None):
+    p = base_parser(f"{family}_zero_shot", batch_size=32)
+    args = p.parse_args(argv)
+    rng = seed_everything(args.seed)
+    run_path = setup_run(args, "test")
+    args.test_snapshot_path = run_path
+
+    adapter = "lora" if args.lora_weights else ("mona" if args.mona_weights else None)
+    cfg, params = build_clip_model(args, family, adapter=adapter, rng=rng)
+    tokenizer = get_text_tokenizer(args, family)
+
+    ensemble = PR.prompt_ensemble_for(args.dataset)
+    text_feats = {}
+    encode_text = jax.jit(lambda p, t: clip_mod.encode_text(p, cfg, t))
+    for cls_name in PR.LESION_TYPES:
+        tokens = jnp.asarray(tokenizer(ensemble[cls_name]))
+        feats = encode_text(params, tokens)
+        text_feats[cls_name] = clip_mod.normalize(feats)
+
+    proto = {c: jnp.mean(text_feats[c], axis=0) for c in PR.LESION_TYPES}
+    proto_sim = float(proto["benign"] @ proto["malignant"])
+    if proto_sim > 0.95:
+        logging.warning(f"Text prompts very similar: {proto_sim:.4f}")
+
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size,
+                               task="cls", zero_shot=True)
+
+    @jax.jit
+    def image_logits(p, images_u8):
+        x = images_u8.astype(jnp.float32) / 255.0
+        x = jnp.repeat(x[..., None], 3, axis=-1)
+        feats, _ = clip_mod.encode_image(p, cfg, x)
+        feats = clip_mod.normalize(feats)
+        cols = [jnp.mean(100.0 * feats @ text_feats[c].T, axis=1)
+                for c in PR.LESION_TYPES]
+        return jnp.stack(cols, axis=1), feats
+
+    acc = ClsAccumulator(criterion=cross_entropy_np)
+    collected_feats, collected_labels = [], []
+    for batch in P.prefetch_to_device(
+            P.batches(datasets["test"], args.batch_size, shuffle=False, drop_last=False,
+                      workers=args.num_workers)):
+        logits, feats = image_logits(params, batch["image"])
+        acc.update(np.asarray(logits), np.asarray(batch["label"]))
+        if len(collected_feats) < 10:
+            collected_feats.append(np.asarray(feats))
+            collected_labels.append(np.asarray(batch["label"]))
+
+    feats = np.concatenate(collected_feats, axis=0)
+    if len(feats) > 10:  # feature-collapse diagnostic (zero_shot.py:237-244)
+        cov = feats.T @ feats / len(feats)
+        eig = np.abs(np.linalg.eigvalsh(cov))[::-1]
+        ratio = eig[0] / max(eig.sum(), 1e-12)
+        if ratio > 0.95:
+            logging.warning(f"Features may be collapsed (ratio={ratio:.4f})")
+
+    stats = acc.compute()
+    _finish_cls(args, acc, stats, run_path, f"roc_curve_{family}_zero_shot")
+    return stats
+
+
+def cross_entropy_np(logits, labels):
+    z = logits - logits.max(axis=1, keepdims=True)
+    logp = z - np.log(np.exp(z).sum(axis=1, keepdims=True))
+    return float(-np.mean(logp[np.arange(len(labels)), labels.astype(int)]))
+
+
+def _finish_cls(args, acc, stats, run_path, fig_name):
+    logits, labels = acc.all()
+    df_stats = {k: stats[k] for k in ("acc", "rec", "pre", "f1", "auc")}
+    logging.info("  ".join(f"{k}={v * 100:.2f}" for k, v in df_stats.items()))
+    folder = backup_folder(run_path, "acc", stats["acc"] * 100)
+    save_results_csv(df_stats, os.path.join(folder, "results.csv"))
+    plot_roc(logits, labels, os.path.join(folder, f"{fig_name}.png"))
+    archive_log(run_path, folder)
+    return folder
+
+
+# ---------------------------------------------------------------------------
+# Supervised classification / segmentation
+# ---------------------------------------------------------------------------
+
+
+def _build_supervised(args, family: str, task: str, rng):
+    adapter = "lora" if args.lora_weights else ("mona" if args.mona_weights else None)
+    cfg, backbone = build_clip_model(args, family, adapter=adapter, rng=rng)
+    hcfg = PyramidHeadConfig(feature_dim=cfg.vision.width, reduce_dim=512,
+                             num_classes=args.num_classes, img_size=args.img_size,
+                             task=task)
+    head = pyramid_head_init(jax.random.fold_in(rng, 7), hcfg)
+    params = {"backbone": backbone, "head": head}
+    if args.head_weights:
+        params, n = ckpt.load_into(args.head_weights, params)
+        logging.info(f"Loaded {n} tensors from {args.head_weights}")
+    return cfg, hcfg, params
+
+
+def _make_forward(cfg, hcfg, args, *, train: bool):
+    use_augs = train and (args.strong_augs or args.weak_augs)
+
+    def forward(params, images_u8, masks_u8, rng):
+        x = images_u8.astype(jnp.float32) / 255.0
+        x = x[..., None]
+        m = None
+        if masks_u8 is not None:
+            m = masks_u8.astype(jnp.float32)[..., None]
+        if use_augs:
+            rng, arng = jax.random.split(rng)
+            x, m = augment_batch(arng, x, m, strong=args.strong_augs,
+                                 weak=args.weak_augs, out_size=args.img_size)
+        x = jnp.repeat(x, 3, axis=-1)
+        rng, drng, hrng = jax.random.split(rng, 3)
+        _, acts = clip_mod.encode_image(params["backbone"], cfg, x,
+                                        rng=drng if train else None,
+                                        extract_layers=extract_layers_for(cfg.vision.depth))
+        logits = pyramid_head_apply(params["head"], hcfg, acts,
+                                    rng=hrng if train else None)
+        return logits, m
+
+    return forward
+
+
+def supervised_main(family: str, task: str, argv=None, *, fewshot: bool = False):
+    defaults = dict(epochs=200, batch_size=32, strong_augs=True, weak_augs=True)
+    p = base_parser(f"{family}_{task}", **defaults)
+    if fewshot:
+        p.add_argument("--shots_per_class", type=int, default=None)
+        p.add_argument("--train_ratio", type=float, default=None)
+        p.add_argument("--stratified", default=True, action=argparse_bool())
+    args = p.parse_args(argv)
+    rng = seed_everything(args.seed)
+
+    run_path = setup_run(args, "test" if args.test else "train")
+    cfg, hcfg, params = _build_supervised(args, family, task, rng)
+
+    trainable, frozen = partition(params, by_keywords("head", "mona", "lora"))
+    logging.info(model_summary({"model": params},
+                               trainable_pred=by_keywords("head", "mona", "lora")))
+
+    data_task = "seg" if task == "seg" else "cls"
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task=data_task)
+    if fewshot:
+        labels = D.read_labels(args.data_root, args.dataset) if data_task == "cls" else None
+        sampled = D.sample_few_shot(
+            datasets["train"].names, labels or {}, rng=np.random.default_rng(args.seed),
+            shots_per_class=args.shots_per_class, train_ratio=args.train_ratio,
+            stratified=getattr(args, "stratified", True))
+        datasets["train"].names = sampled
+        logging.info(f"Few-shot training subset: {len(sampled)} samples")
+        args.batch_size = min(args.batch_size, max(len(sampled), 1))
+
+    loss_name = "focal" if task == "cls" else "dice_ce"
+
+    fwd_train = _make_forward(cfg, hcfg, args, train=True)
+    fwd_eval = _make_forward(cfg, hcfg, args, train=False)
+
+    def loss_fn(trainable_p, frozen_p, batch, rng):
+        params = merge(trainable_p, frozen_p)
+        masks = batch.get("mask")
+        logits, m = fwd_train(params, batch["image"], masks, rng)
+        if task == "cls":
+            return focal_loss(logits, batch["label"])
+        m_ichw = jnp.moveaxis(m, -1, 1).astype(jnp.int32)
+        return dice_ce_loss(logits, m_ichw)
+
+    @jax.jit
+    def eval_logits(trainable_p, frozen_p, images_u8):
+        params = merge(trainable_p, frozen_p)
+        logits, _ = fwd_eval(params, images_u8, None, jax.random.key(0))
+        return logits
+
+    def np_criterion(logits, labels):
+        if task == "cls":
+            return float(focal_loss(jnp.asarray(logits), jnp.asarray(labels)))
+        return float(dice_ce_loss(jnp.asarray(logits), jnp.asarray(labels)))
+
+    def evaluate(split, trainable_p):
+        accum = (ClsAccumulator if task == "cls" else SegAccumulator)(criterion=np_criterion)
+        names = []
+        vis = []
+        for batch in P.prefetch_to_device(
+                P.batches(datasets[split], args.batch_size, shuffle=False,
+                          drop_last=False, workers=args.num_workers)):
+            logits = eval_logits(trainable_p, frozen, batch["image"])
+            if task == "cls":
+                accum.update(np.asarray(logits), np.asarray(batch["label"]))
+            else:
+                gt = np.asarray(batch["mask"])[:, None, :, :]
+                accum.update(np.asarray(logits), gt)
+                names.extend(batch["name"])
+                vis.append((np.asarray(batch["image"]), gt, np.asarray(logits)))
+        return accum, names, vis
+
+    if not args.test:
+        n_train = len(datasets["train"])
+        steps_per_epoch = max(n_train // args.batch_size, 1)
+        tcfg = T.TrainConfig(lr=args.lr, lr_min=args.lr_min,
+                             weight_decay=args.weight_decay,
+                             beta1=0.9, beta2=0.999, grad_clip=0.0, accum_steps=1,
+                             total_updates=steps_per_epoch * args.epochs)
+        opt, _ = T.make_optimizer(tcfg)
+        state = T.init_state(trainable, opt)
+        step = T.make_train_step(loss_fn, opt, tcfg)
+        stopper = T.EarlyStopper(args.patience, mode="max")
+        writer = TBWriter(os.path.join(run_path, "log"))
+        best_path = os.path.join(run_path, "best_model.npz")
+        key_metric = "acc" if task == "cls" else "dice_mean"
+
+        k = jax.random.fold_in(rng, 123)
+        drop_last = n_train > args.batch_size
+        for epoch in range(args.epochs):
+            epoch_loss, nb = 0.0, 0
+            for batch in P.prefetch_to_device(
+                    P.batches(datasets["train"], args.batch_size, shuffle=True,
+                              drop_last=drop_last, seed=args.seed + epoch,
+                              workers=args.num_workers)):
+                k, k1 = jax.random.split(k)
+                mb = {kk: v for kk, v in batch.items() if kk != "name"}
+                mb = T.stack_microbatches(mb, 1)
+                state, m = step(state, frozen, mb, k1)
+                epoch_loss += float(m["loss"])
+                nb += 1
+            writer.scalar("train/loss", epoch_loss / max(nb, 1), epoch + 1)
+
+            if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
+                trainable_now = state["params"]
+                accum, _, _ = evaluate("val", trainable_now)
+                stats = accum.compute()
+                val_metric = stats[key_metric]
+                writer.scalar(f"val/{key_metric}", val_metric, epoch + 1)
+                logging.info(f"Epoch {epoch + 1}: loss={epoch_loss / max(nb, 1):.4f} "
+                             f"val {key_metric}={val_metric:.4f}")
+                if stopper.update(val_metric, epoch):
+                    n = ckpt.save(best_path, {"params": trainable_now})
+                    logging.info(f"Best model saved ({n} tensors) at epoch {epoch + 1}")
+                # reference also evaluates test mid-training (segmentation.py:259-277)
+                taccum, _, _ = evaluate("test", trainable_now)
+                tstats = taccum.compute()
+                logging.info(f"  [test during training] {key_metric}={tstats[key_metric]:.4f}")
+                if stopper.should_stop:
+                    logging.info(f"Early stopping at epoch {epoch + 1}")
+                    break
+        writer.close()
+        if os.path.exists(best_path):
+            loaded, _ = ckpt.load_into(best_path, {"params": trainable})
+            trainable = loaded["params"]
+    else:
+        if args.head_weights is None:
+            default_best = os.path.join("runs", args.exp, args.dataset, "train", "best_model.npz")
+            if os.path.exists(default_best):
+                loaded, n = ckpt.load_into(default_best, {"params": trainable})
+                trainable = loaded["params"]
+                logging.info(f"Loaded {n} tensors from {default_best}")
+
+    accum, names, vis = evaluate("test", trainable)
+    stats = accum.compute()
+    if task == "cls":
+        folder = _finish_cls(args, accum, stats, run_path, f"roc_curve_{family}_{task}")
+    else:
+        logging.info(" ".join(f"{k}={v:.4f}" for k, v in stats.items()))
+        folder = backup_folder(run_path, "iou", stats["iou_mean"] * 100)
+        save_results_csv(stats, os.path.join(folder, "results.csv"), scale100=())
+        viz_path = os.path.join(folder, "viz")
+        for images_u8, gt, logits in vis:
+            imgs = images_u8.astype(np.float32)[:, None, :, :] / 255.0
+            preds = one_hot_argmax(logits)
+            visualize_seg(imgs, gt, preds,
+                          names[:len(imgs)], viz_path)
+            names = names[len(imgs):]
+        archive_log(run_path, folder)
+    return stats
+
+
+def argparse_bool():
+    import argparse
+
+    return argparse.BooleanOptionalAction

@@ -1,0 +1,199 @@
+"""Shared task-driver scaffolding: flags, model assembly, train/eval loops.
+
+Reproduces the reference's per-script driver pattern (SURVEY.md §2.3 —
+``get_args -> prepare_model -> train/test -> main``) once, parameterized by
+(family, task). CLI flags keep the reference names so shell pipelines port
+unchanged (BASELINE.json CLI-compatibility requirement); new TPU-specific
+flags (--data_root, --backbone_ckpt, --compute_dtype, --n_data/--n_model) are
+additive.
+
+Without converted pretrained weights on disk the backbone initialises
+randomly with a loud warning — the framework remains fully runnable offline;
+quality parity requires running convert/ on real checkpoints first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..adapters.lora import inject_lora
+from ..adapters.mona import inject_mona
+from ..core import checkpoint as ckpt
+from ..core.experiment import setup_logging
+from ..core.partition import by_keywords
+from ..data.tokenizer import ClipTokenizer, load_hf_tokenizer
+from ..models import clip as clip_mod
+
+MONA_CHOICES = ["baseline", "noise_aware", "freq_enhanced", "hybrid"]
+# BiomedCLIP's HF tokenizer name (finetune.py:119); used when cached locally.
+BIOMEDCLIP_HF = "microsoft/BiomedCLIP-PubMedBERT_256-vit_base_patch16_224"
+
+
+def base_parser(name: str, **defaults) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(name)
+    p.add_argument("--exp", type=str, default=defaults.get("exp", name))
+    p.add_argument("--dataset", type=str, default=defaults.get("dataset", "BUSI"))
+    p.add_argument("--data_root", type=str,
+                   default=os.environ.get("NEXTGEN_UIA_DATA", "../data/NextGen-UIA"))
+    p.add_argument("--img_size", type=int, default=defaults.get("img_size", 224))
+    p.add_argument("--patch_size", type=int, default=16)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--strong_augs", default=defaults.get("strong_augs", False),
+                   action=argparse.BooleanOptionalAction)
+    p.add_argument("--weak_augs", default=defaults.get("weak_augs", False),
+                   action=argparse.BooleanOptionalAction)
+    p.add_argument("--in_channels", type=int, default=3)
+    p.add_argument("--num_classes", type=int, default=2)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=defaults.get("batch_size", 32))
+    p.add_argument("--epochs", type=int, default=defaults.get("epochs", 200))
+    p.add_argument("--lr", type=float, default=defaults.get("lr", 1e-4))
+    p.add_argument("--lr_min", type=float, default=1e-8)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--patience", type=int, default=defaults.get("patience", 15))
+    p.add_argument("--val_interval", type=int, default=defaults.get("val_interval", 10))
+    p.add_argument("--test", default=False, action="store_true",
+                   help="Skip training; evaluate an existing checkpoint")
+    # adapters
+    p.add_argument("--mona_weights", type=str, default=None)
+    p.add_argument("--mona_variant", type=str, default="freq_enhanced",
+                   choices=MONA_CHOICES + ["fractional"])
+    p.add_argument("--mona_bottleneck", type=int, default=64)
+    p.add_argument("--mona_layers", type=int, default=None)
+    p.add_argument("--lora_weights", type=str, default=None)
+    p.add_argument("--lora_r", type=int, default=16)
+    p.add_argument("--lora_alpha", type=int, default=32)
+    p.add_argument("--lora_dropout", type=float, default=0.1)
+    p.add_argument("--lora_layers", type=int, default=None)
+    # TPU-native additions
+    p.add_argument("--backbone_ckpt", type=str, default=None,
+                   help="Converted backbone checkpoint (.npz from convert/)")
+    p.add_argument("--head_weights", type=str, default=None,
+                   help="Trained head/component checkpoint to load")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--n_data", type=int, default=None, help="data-parallel mesh size")
+    p.add_argument("--n_model", type=int, default=1, help="model-parallel mesh size")
+    p.add_argument("--debug_tiny", default=False, action="store_true",
+                   help="Shrink towers for smoke tests (random weights, fast compile)")
+    return p
+
+
+def seed_everything(seed: int):
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.key(seed)
+
+
+def resolve_mona_variant(variant: str) -> str:
+    """The reference CLI advertises 'fractional' but its adapter registry
+    rejects it at runtime (SURVEY.md §0 defect table). We accept the flag for
+    CLI compatibility and fail with a clear message."""
+    if variant == "fractional":
+        raise SystemExit(
+            "MONA variant 'fractional' is advertised by the reference CLI but has "
+            "no implementation (src/adapters/__init__.py:23 imports a class that "
+            f"does not exist). Choose from {MONA_CHOICES}.")
+    return variant
+
+
+def build_clip_model(args, family: str, *, adapter: str | None = None, rng=None):
+    """Assemble (cfg, params): config + random-or-converted weights +
+    declarative adapter injection + optional adapter weight load."""
+    rng = rng if rng is not None else jax.random.key(args.seed)
+    variant = resolve_mona_variant(args.mona_variant) if (
+        adapter == "mona" or args.mona_weights) else "hybrid"
+    cfg = clip_mod.clip_config(family, compute_dtype=args.compute_dtype,
+                               mona_variant=variant,
+                               lora_alpha=float(args.lora_alpha))
+    if getattr(args, "debug_tiny", False):
+        import dataclasses as _dc
+
+        vis = _dc.replace(cfg.vision, image_size=args.img_size, width=96, depth=4,
+                          heads=4, proj_dim=64)
+        if cfg.text_kind == "bert":
+            txt = _dc.replace(cfg.text, width=96, depth=2, heads=4, intermediate=192,
+                              embed_dim=64)
+        else:
+            txt = _dc.replace(cfg.text, width=96, depth=2, heads=4, embed_dim=64)
+        cfg = _dc.replace(cfg, vision=vis, text=txt)
+    k1, k2 = jax.random.split(rng)
+    params = clip_mod.clip_init(k1, cfg)
+
+    if args.backbone_ckpt:
+        params, n = ckpt.load_into(args.backbone_ckpt, params)
+        logging.info(f"Loaded {n} backbone tensors from {args.backbone_ckpt}")
+    else:
+        logging.warning(
+            "No --backbone_ckpt given: backbone weights are RANDOM. Run the "
+            "checkpoint converter (nextgen_uia_tpu.convert) for pretrained towers.")
+
+    use_mona = adapter == "mona" or args.mona_weights
+    use_lora = adapter == "lora" or args.lora_weights
+    if use_lora:
+        params["visual"], n = inject_lora(k2, params["visual"], dim=cfg.vision.width,
+                                          r=args.lora_r, num_layers=args.lora_layers)
+        logging.info(f"Injected LoRA into {n} blocks (r={args.lora_r}, alpha={args.lora_alpha})")
+        if args.lora_weights:
+            params, n = ckpt.load_into(args.lora_weights, params)
+            logging.info(f"Loaded {n} LoRA tensors from {args.lora_weights}")
+    elif use_mona:
+        params["visual"], n = inject_mona(
+            k2, params["visual"], dim=cfg.vision.width,
+            bottleneck=args.mona_bottleneck, variant=variant,
+            num_layers=args.mona_layers)
+        logging.info(f"Injected {variant} MONA into {n} blocks")
+        if args.mona_weights:
+            params, n = ckpt.load_into(args.mona_weights, params)
+            logging.info(f"Loaded {n} MONA tensors from {args.mona_weights}")
+    return cfg, params
+
+
+def get_text_tokenizer(args, family: str):
+    """Tokenizer per family: BiomedCLIP -> HF PubMedBERT (when cached) with a
+    loud ClipTokenizer fallback offline; others -> CLIP BPE (ctx 77)."""
+    if family == "biomedclip":
+        tok = load_hf_tokenizer(BIOMEDCLIP_HF, context_length=256)
+        if tok is not None:
+            return tok
+        logging.warning(
+            "BiomedCLIP HF tokenizer unavailable offline; falling back to CLIP "
+            "BPE with ids folded into the BERT vocab range (context 256). "
+            "Text-side parity requires the HF tokenizer files.")
+        clip_tok = ClipTokenizer()
+        vocab = 30522  # BertConfig().vocab_size
+
+        def fallback(texts, ctx=256):
+            ids = clip_tok(texts, context_length=ctx)
+            return np.where(ids > 0, 1 + (ids % (vocab - 1)), 0).astype(np.int32)
+
+        return fallback
+    clip_tok = ClipTokenizer()
+    return lambda texts, ctx=77: clip_tok(texts, context_length=ctx)
+
+
+def setup_run(args, subdir: str):
+    path = os.path.join("runs", args.exp, args.dataset, subdir) \
+        if subdir in ("train", "test") else os.path.join("runs", args.exp)
+    os.makedirs(path, exist_ok=True)
+    setup_logging(args, path)
+    return path
+
+
+def trainable_keywords(task: str, method: str | None = None):
+    """Keyword partition for each task's trainable set (§5.4 semantics)."""
+    if task == "finetune":
+        return {"mona": ("mona",), "lora": ("lora",), "full": ("",)}[method or "mona"]
+    # supervised heads keep adapters + head trainable (clip_adapter.py:162-189)
+    return ("head", "mona", "lora")
+
+
+def path_in_head(path: str) -> bool:
+    return path.startswith("head")

@@ -1,0 +1,11 @@
+"""CLI: python -m nextgen_uia_tpu.tasks.unimedclip.zero_shot (reference: src/models/unimedclip/zero_shot.py)."""
+
+from ..clip_tasks import zero_shot_main
+
+
+def main(argv=None):
+    return zero_shot_main('unimedclip', argv)
+
+
+if __name__ == "__main__":
+    main()
