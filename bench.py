@@ -1,0 +1,89 @@
+"""Headline benchmark: BUSI Mona fine-tune throughput (images/sec/chip).
+
+Measures the steady-state Mona-adapter contrastive fine-tune step on the
+flagship configuration — BiomedCLIP ViT-B/16 image tower + PubMedBERT-shaped
+text tower, hybrid MONA in all 12 blocks, InfoNCE, batch 64, bf16 compute —
+matching the reference's headline config (scripts/biomedclip.sh:24-33: batch
+64, lr 1e-4, hybrid MONA).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
+A100_EST_IMG_S is our documented estimate of the reference's PyTorch 2.x
+eager Mona fine-tune throughput on one A100-80GB (ViT-B/16 @ 224, batch 64,
+fwd+bwd through frozen towers + adapters + text tower): ~600 img/s.
+BASELINE.json's target is >=2.0 on this ratio for TPU v5e.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_EST_IMG_S = 600.0
+BATCH = 64
+STEPS = 20
+WARMUP = 3
+
+
+def main():
+    from nextgen_uia_tpu.core import train as T
+    from nextgen_uia_tpu.core.partition import by_keywords, merge, partition
+    from nextgen_uia_tpu.losses import info_nce
+    from nextgen_uia_tpu.models import clip as clip_mod
+    from __graft_entry__ import _flagship
+
+    cfg, params = _flagship(depth=12)
+    trainable, frozen = partition(params, by_keywords("mona"))
+
+    tcfg = T.TrainConfig(lr=1e-4, accum_steps=1, total_updates=1000)
+    opt, _ = T.make_optimizer(tcfg)
+    state = T.init_state(trainable, opt)
+
+    def loss_fn(trainable_p, frozen_p, batch, rng):
+        p = merge(trainable_p, frozen_p)
+        img_feats, _ = clip_mod.encode_image(p, cfg, batch["image"], rng=rng)
+        txt_feats = clip_mod.encode_text(p, cfg, batch["tokens"])
+        return info_nce(img_feats, txt_feats)
+
+    step = T.make_train_step(loss_fn, opt, tcfg, donate=True)
+
+    rng = jax.random.key(0)
+    batch = {
+        "image": jax.random.uniform(jax.random.key(1), (1, BATCH, 224, 224, 3),
+                                    jnp.float32),
+        "tokens": jax.random.randint(jax.random.key(2), (1, BATCH, 256), 1, 30000),
+    }
+    frozen = jax.device_put(frozen)
+
+    # NOTE: this TPU is reached through a relay where jax.block_until_ready
+    # does not reliably block; a host-side scalar fetch (float(...)) is the
+    # only trustworthy completion barrier. Steps chain through `state`, so
+    # fetching the final loss forces the whole timed sequence.
+    for i in range(WARMUP):
+        rng, k = jax.random.split(rng)
+        state, metrics = step(state, frozen, batch, k)
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        rng, k = jax.random.split(rng)
+        state, metrics = step(state, frozen, batch, k)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    img_per_s_per_chip = BATCH * STEPS / dt / n_chips
+    print(json.dumps({
+        "metric": "BUSI Mona fine-tune images/sec/chip",
+        "value": round(img_per_s_per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s_per_chip / A100_EST_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
