@@ -1,0 +1,373 @@
+"""Torch -> JAX checkpoint converters for every backbone the reference loads.
+
+Covers the four serialization layouts SURVEY.md §7 ranks as hard-part #1:
+  - open_clip/timm BiomedCLIP (visual.trunk timm ViT + HF BERT text tower,
+    loaded at src/models/biomedclip/finetune.py:116-119)
+  - OpenAI CLIP jit archives / state dicts (vendored clip.load,
+    src/models/clip/finetune.py:68) — also MetaCLIP and UniMedCLIP, which use
+    the same module layout via open_clip (visual.transformer.resblocks);
+    UniMedCLIP additionally strips a DataParallel ``module.`` prefix and keeps
+    only visual weights (src/models/unimedclip/finetune.py:81-88)
+  - HF CLIPSeg decoder (CIDAS/clipseg-rd64-refined,
+    src/third_party/openai_clip/clipseg_adapter.py:30-37)
+  - DINOv2 ViT-B/14 (ckpt/dinov2_vitb14_pretrain.pth,
+    src/third_party/dino/dinov2.py:263-276)
+  - torchvision ResNets (src/models/baselines/classification.py)
+
+All converters take a {name: numpy array} state dict and return our pytree
+path -> array flat dict, saved as .npz (core/checkpoint.py format). Weight
+layout rules: Linear [out,in] -> [in,out] transpose; Conv OIHW -> HWIO;
+ConvTranspose [in,out,kh,kw] -> [kh,kw,in,out]; fused qkv split three ways.
+Every converter has a golden test driving the torch reference module and our
+model side by side (tests/test_convert.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _lin(sd, name):
+    out = {"w": sd[f"{name}.weight"].T}
+    if f"{name}.bias" in sd:
+        out["b"] = sd[f"{name}.bias"]
+    return out
+
+
+def _ln(sd, name):
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def _conv(sd, name):
+    out = {"w": sd[f"{name}.weight"].transpose(2, 3, 1, 0)}
+    if f"{name}.bias" in sd:
+        out["b"] = sd[f"{name}.bias"]
+    return out
+
+
+def _convT(sd, name):
+    out = {"w": sd[f"{name}.weight"].transpose(2, 3, 0, 1)}
+    if f"{name}.bias" in sd:
+        out["b"] = sd[f"{name}.bias"]
+    return out
+
+
+def _split_qkv(w, b=None):
+    """Fused [3D, D] qkv -> separate q/k/v in [in, out] layout."""
+    d = w.shape[0] // 3
+    out = {}
+    for i, n in enumerate(("q", "k", "v")):
+        out[n] = {"w": w[i * d:(i + 1) * d].T}
+        if b is not None:
+            out[n]["b"] = b[i * d:(i + 1) * d]
+    return out
+
+
+def _flat(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flat(v, key))
+        elif isinstance(v, (list, tuple)):
+            for i, item in enumerate(v):
+                out.update(_flat(item, f"{key}/{i}"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _numpy_sd(sd):
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().float().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# timm-style ViT trunk (BiomedCLIP visual, DINOv2 core layout)
+# ---------------------------------------------------------------------------
+
+
+def convert_timm_vit(sd, prefix="", depth=12, *, layerscale=False):
+    """timm VisionTransformer (fused qkv) -> our vit params tree."""
+    g = lambda n: sd[f"{prefix}{n}"]
+    blocks = []
+    for i in range(depth):
+        b = f"{prefix}blocks.{i}."
+        attn = _split_qkv(sd[b + "attn.qkv.weight"], sd.get(b + "attn.qkv.bias"))
+        attn["o"] = {"w": sd[b + "attn.proj.weight"].T, "b": sd[b + "attn.proj.bias"]}
+        blk = {
+            "ln1": {"scale": sd[b + "norm1.weight"], "bias": sd[b + "norm1.bias"]},
+            "attn": attn,
+            "ln2": {"scale": sd[b + "norm2.weight"], "bias": sd[b + "norm2.bias"]},
+            "mlp": {"fc1": {"w": sd[b + "mlp.fc1.weight"].T, "b": sd[b + "mlp.fc1.bias"]},
+                    "fc2": {"w": sd[b + "mlp.fc2.weight"].T, "b": sd[b + "mlp.fc2.bias"]}},
+        }
+        if layerscale:
+            blk["ls1"] = sd[b + "ls1.gamma"]
+            blk["ls2"] = sd[b + "ls2.gamma"]
+        blocks.append(blk)
+    tree = {
+        "patch": {"w": g("patch_embed.proj.weight").transpose(2, 3, 1, 0),
+                  "b": g("patch_embed.proj.bias")},
+        "cls": g("cls_token").reshape(-1),
+        "pos": g("pos_embed").reshape(g("pos_embed").shape[-2], -1),
+        "blocks": blocks,
+        "norm": {"scale": g("norm.weight"), "bias": g("norm.bias")},
+    }
+    return tree
+
+
+def convert_biomedclip(sd, depth=12, text_depth=12):
+    """open_clip BiomedCLIP: visual.trunk (timm) + visual head proj + HF BERT
+    text tower + mlp text proj + logit_scale."""
+    sd = _numpy_sd(sd)
+    visual = convert_timm_vit(sd, "visual.trunk.", depth)
+    # open_clip TimmModel head: visual.head.proj Linear(768, 512, bias=False)
+    for cand in ("visual.head.proj.weight", "visual.head.weight", "visual.proj"):
+        if cand in sd:
+            w = sd[cand]
+            visual["proj"] = {"w": w.T if cand.endswith(".weight") else w}
+            break
+
+    t = "text.transformer."
+    layers = []
+    for i in range(text_depth):
+        b = f"{t}encoder.layer.{i}."
+        layers.append({
+            "attn": {
+                "q": _lin(sd, b + "attention.self.query"),
+                "k": _lin(sd, b + "attention.self.key"),
+                "v": _lin(sd, b + "attention.self.value"),
+                "o": _lin(sd, b + "attention.output.dense"),
+            },
+            "attn_ln": _ln(sd, b + "attention.output.LayerNorm"),
+            "ffn": {"fc1": _lin(sd, b + "intermediate.dense"),
+                    "fc2": _lin(sd, b + "output.dense")},
+            "ffn_ln": _ln(sd, b + "output.LayerNorm"),
+        })
+    text = {
+        "embeddings": {
+            "word": {"w": sd[t + "embeddings.word_embeddings.weight"]},
+            "position": {"w": sd[t + "embeddings.position_embeddings.weight"]},
+            "token_type": {"w": sd[t + "embeddings.token_type_embeddings.weight"]},
+            "ln": _ln(sd, t + "embeddings.LayerNorm"),
+        },
+        "layers": layers,
+        "proj": {"fc1": {"w": sd["text.proj.0.weight"].T},
+                 "fc2": {"w": sd["text.proj.2.weight"].T}},
+    }
+    tree = {"visual": visual, "text": text}
+    if "logit_scale" in sd:
+        tree["logit_scale"] = sd["logit_scale"].reshape(())
+    return _flat(tree)
+
+
+# ---------------------------------------------------------------------------
+# OpenAI-style CLIP (OpenAI / MetaCLIP / UniMedCLIP)
+# ---------------------------------------------------------------------------
+
+
+def _convert_openai_tower(sd, prefix, depth):
+    blocks = []
+    for i in range(depth):
+        b = f"{prefix}resblocks.{i}."
+        attn = _split_qkv(sd[b + "attn.in_proj_weight"], sd.get(b + "attn.in_proj_bias"))
+        attn["o"] = {"w": sd[b + "attn.out_proj.weight"].T, "b": sd[b + "attn.out_proj.bias"]}
+        blocks.append({
+            "ln1": _ln(sd, b + "ln_1"),
+            "attn": attn,
+            "ln2": _ln(sd, b + "ln_2"),
+            "mlp": {"fc1": _lin(sd, b + "mlp.c_fc"), "fc2": _lin(sd, b + "mlp.c_proj")},
+        })
+    return blocks
+
+
+def convert_openai_clip(sd, depth=12, text_depth=12, *, strip_module=False,
+                        visual_only=False):
+    """OpenAI CLIP / MetaCLIP / UniMedCLIP state dict -> flat tree.
+
+    strip_module handles DataParallel checkpoints (unimedclip/finetune.py:81);
+    visual_only reproduces UniMedCLIP's visual-only filter (:86-88).
+    """
+    sd = _numpy_sd(sd)
+    if strip_module:
+        sd = {k[len("module."):] if k.startswith("module.") else k: v
+              for k, v in sd.items()}
+
+    visual = {
+        "patch": {"w": sd["visual.conv1.weight"].transpose(2, 3, 1, 0)},
+        "cls": sd["visual.class_embedding"].reshape(-1),
+        "pos": sd["visual.positional_embedding"],
+        "ln_pre": _ln(sd, "visual.ln_pre"),
+        "blocks": _convert_openai_tower(sd, "visual.transformer.", depth),
+        "norm": _ln(sd, "visual.ln_post"),
+        "proj": {"w": sd["visual.proj"]},  # stored [width, embed] = [in, out]
+    }
+    tree = {"visual": visual}
+    if not visual_only and "token_embedding.weight" in sd:
+        tree["text"] = {
+            "token_embedding": {"w": sd["token_embedding.weight"]},
+            "pos": sd["positional_embedding"],
+            "blocks": _convert_openai_tower(sd, "transformer.", text_depth),
+            "ln_final": _ln(sd, "ln_final"),
+            "proj": {"w": sd["text_projection"]},
+        }
+    if "logit_scale" in sd:
+        tree["logit_scale"] = sd["logit_scale"].reshape(())
+    return _flat(tree)
+
+
+# ---------------------------------------------------------------------------
+# HF CLIPSeg decoder
+# ---------------------------------------------------------------------------
+
+
+def convert_clipseg_decoder(sd, depth=3):
+    """HF CLIPSegForImageSegmentation (or bare decoder) state dict -> our
+    clipseg decoder tree. Accepts keys with or without a 'decoder.' prefix."""
+    sd = _numpy_sd(sd)
+    if any(k.startswith("decoder.") for k in sd):
+        sd = {k[len("decoder."):]: v for k, v in sd.items() if k.startswith("decoder.")}
+    layers = []
+    for i in range(depth):
+        b = f"layers.{i}."
+        layers.append({
+            "attn": {"q": _lin(sd, b + "self_attn.q_proj"),
+                     "k": _lin(sd, b + "self_attn.k_proj"),
+                     "v": _lin(sd, b + "self_attn.v_proj"),
+                     "o": _lin(sd, b + "self_attn.out_proj")},
+            "ln1": _ln(sd, b + "layer_norm1"),
+            "mlp": {"fc1": _lin(sd, b + "mlp.fc1"), "fc2": _lin(sd, b + "mlp.fc2")},
+            "ln2": _ln(sd, b + "layer_norm2"),
+        })
+    tree = {
+        "film_mul": _lin(sd, "film_mul"),
+        "film_add": _lin(sd, "film_add"),
+        "reduces": [_lin(sd, f"reduces.{i}") for i in range(depth)],
+        "layers": layers,
+        "trans_conv1": _conv(sd, "transposed_convolution.0"),
+        "trans_up1": _convT(sd, "transposed_convolution.2"),
+        "trans_up2": _convT(sd, "transposed_convolution.4"),
+    }
+    return _flat(tree)
+
+
+# ---------------------------------------------------------------------------
+# DINOv2
+# ---------------------------------------------------------------------------
+
+
+def convert_dinov2(sd, depth=12):
+    """DINOv2 pretrain checkpoint (vit_base_14). Keys may carry the reference
+    loader's remaps (dinov2.py:272-273) or be raw hub keys."""
+    sd = _numpy_sd(sd)
+    # normalize: strip 'encoder.'/'backbone.' prefixes, undo chunked-block naming
+    def norm_key(k):
+        for p in ("encoder.", "backbone."):
+            if k.startswith(p):
+                k = k[len(p):]
+        return k.replace("blocks.0.blocks.", "blocks.").replace("blocks.0.", "blocks.") \
+            if ".blocks." in k or k.startswith("blocks.0.") else k
+
+    sd = {norm_key(k): v for k, v in sd.items()}
+    tree = convert_timm_vit(sd, "", depth, layerscale=True)
+    return _flat(tree)
+
+
+# ---------------------------------------------------------------------------
+# torchvision ResNet
+# ---------------------------------------------------------------------------
+
+
+def _bn(sd, name):
+    return ({"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]},
+            {"mean": sd[f"{name}.running_mean"], "var": sd[f"{name}.running_var"]})
+
+
+def convert_resnet(sd, arch="resnet18"):
+    """torchvision resnet state dict -> (flat params, flat state)."""
+    from ..models.resnet import SPECS
+
+    sd = _numpy_sd(sd)
+    kind, layout = SPECS[arch]
+    p, s = {}, {}
+    bnp, bns = _bn(sd, "bn1")
+    p["stem"] = {"conv": {"w": sd["conv1.weight"].transpose(2, 3, 1, 0)}, "bn": bnp}
+    s["stem"] = {"bn": bns}
+
+    def conv_bn(conv_name, bn_name):
+        bp, bs = _bn(sd, bn_name)
+        return ({"conv": {"w": sd[conv_name + ".weight"].transpose(2, 3, 1, 0)}, "bn": bp},
+                {"bn": bs})
+
+    for stage, nblocks in enumerate(layout):
+        ps, ss = [], []
+        for bidx in range(nblocks):
+            base = f"layer{stage+1}.{bidx}"
+            bp, bs = {}, {}
+            n_convs = 2 if kind == "basic" else 3
+            for ci in range(1, n_convs + 1):
+                bp[f"c{ci}"], bs[f"c{ci}"] = conv_bn(f"{base}.conv{ci}", f"{base}.bn{ci}")
+            if f"{base}.downsample.0.weight" in sd:
+                bp["down"], bs["down"] = conv_bn(f"{base}.downsample.0", f"{base}.downsample.1")
+            ps.append(bp)
+            ss.append(bs)
+        p[f"layer{stage+1}"] = ps
+        s[f"layer{stage+1}"] = ss
+    p["fc"] = _lin(sd, "fc")
+    return _flat(p), _flat(s)
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+CONVERTERS = {
+    "biomedclip": convert_biomedclip,
+    "openai_clip": convert_openai_clip,
+    "metaclip": convert_openai_clip,
+    "unimedclip": lambda sd: convert_openai_clip(sd, strip_module=True, visual_only=True),
+    "clipseg_decoder": convert_clipseg_decoder,
+    "dinov2": convert_dinov2,
+}
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser("nextgen_uia_tpu.convert")
+    ap.add_argument("kind", choices=list(CONVERTERS) + ["resnet18", "resnet34",
+                                                        "resnet50", "resnet101", "resnet152"])
+    ap.add_argument("src", help=".pt/.pth/.bin state dict or torch.jit archive")
+    ap.add_argument("dst", help="output .npz")
+    args = ap.parse_args(argv)
+
+    import torch
+
+    try:
+        sd = torch.load(args.src, map_location="cpu", weights_only=True)
+    except Exception:
+        try:
+            sd = torch.jit.load(args.src, map_location="cpu").state_dict()
+        except Exception:
+            sd = torch.load(args.src, map_location="cpu", weights_only=False)
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+
+    if args.kind.startswith("resnet"):
+        flat, state = convert_resnet(sd, args.kind)
+        flat.update({f"__state__/{k}": v for k, v in state.items()})
+    else:
+        flat = CONVERTERS[args.kind](sd)
+    np.savez(args.dst, **flat)
+    print(f"Wrote {len(flat)} tensors to {args.dst}")
+
+
+if __name__ == "__main__":
+    main()

@@ -27,8 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.layers import (batchnorm, batchnorm_init, conv2d, conv_init,
-                         layernorm, layernorm_init, linear, linear_init,
-                         resize_bilinear)
+                         conv_transpose2d, layernorm, layernorm_init, linear,
+                         linear_init, resize_bilinear)
 from .vit import ViTConfig, _block_init, block_apply
 
 DINOV2_B14 = ViTConfig(image_size=518, patch_size=14, width=768, depth=12,
@@ -177,8 +177,7 @@ def unet_decoder_apply(params, state, layer_feats, *, image_size: int,
     for i in range(4):
         up = params[f"up{i}"]
         st = state[f"up{i}"]
-        x = jax.lax.conv_transpose(x, up["upconv"]["w"], (2, 2), "VALID",
-                                   dimension_numbers=("NHWC", "HWIO", "NHWC")) + up["upconv"]["b"]
+        x = conv_transpose2d(up["upconv"], x, stride=2)
         sk = conv2d(up["skip_conv"], skips[i])
         sk, s_skip = batchnorm(up["skip_bn"], st["skip_bn"], sk, train=train)
         sk = jax.nn.relu(sk)

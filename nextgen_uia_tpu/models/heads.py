@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.attention import attention_init, mha
-from ..nn.layers import (conv_init, dropout, gelu, layernorm, layernorm_init,
-                         linear, linear_init, resize_bilinear)
+from ..nn.layers import (conv_init, conv_transpose2d, dropout, gelu, layernorm,
+                         layernorm_init, linear, linear_init, resize_bilinear)
 
 
 # ---------------------------------------------------------------------------
@@ -136,9 +136,6 @@ def clipseg_decoder_init(rng, cfg: ClipSegDecoderConfig):
     }
 
 
-def _conv_transpose(x, w, stride):
-    return jax.lax.conv_transpose(
-        x, w, (stride, stride), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def clipseg_decoder_apply(p, cfg: ClipSegDecoderConfig, activations, cond, *, dtype=None):
@@ -171,7 +168,7 @@ def clipseg_decoder_apply(p, cfg: ClipSegDecoderConfig, activations, cond, *, dt
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["trans_conv1"]["b"].astype(fmap.dtype)
     y = jax.nn.relu(y)
     k = cfg.patch_size // 4
-    y = _conv_transpose(y, p["trans_up1"]["w"].astype(y.dtype), k) + p["trans_up1"]["b"].astype(y.dtype)
+    y = conv_transpose2d(p["trans_up1"], y, stride=k, dtype=y.dtype)
     y = jax.nn.relu(y)
-    y = _conv_transpose(y, p["trans_up2"]["w"].astype(y.dtype), k) + p["trans_up2"]["b"].astype(y.dtype)
+    y = conv_transpose2d(p["trans_up2"], y, stride=k, dtype=y.dtype)
     return y[:, :, :, 0]

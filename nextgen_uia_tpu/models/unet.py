@@ -14,7 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..nn.layers import batchnorm, batchnorm_init, conv2d, conv_init, dropout
+from ..nn.layers import (batchnorm, batchnorm_init, conv2d, conv_init,
+                         conv_transpose2d, dropout)
 
 DROPOUTS = (0.05, 0.1, 0.2, 0.3, 0.5)
 
@@ -78,10 +79,7 @@ def unet_apply(params, state, x, *, train: bool = False, rng=None):
 
     h = feats[4]
     for i in range(4):
-        w = params[f"upconv{i}"]["w"]
-        h = jax.lax.conv_transpose(h, w, (2, 2), "VALID",
-                                   dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        h = h + params[f"upconv{i}"]["b"]
+        h = conv_transpose2d(params[f"upconv{i}"], h, stride=2)
         h = jnp.concatenate([feats[3 - i], h], axis=-1)
         sub = None
         if rng is not None:

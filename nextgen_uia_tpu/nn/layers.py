@@ -130,6 +130,26 @@ def conv2d(p, x, *, stride: int | Sequence[int] = 1, padding="SAME", groups: int
     return y
 
 
+def conv_transpose2d(p, x, *, stride: int, dtype=None):
+    """Transposed conv with torch ConvTranspose2d semantics.
+
+    Weights stored [kh, kw, in, out] (same convention as conv_init; converters
+    map torch's [in, out, kh, kw] via transpose(2,3,0,1)). Equivalence to
+    torch requires the HWOI kernel + transpose_kernel=True form (verified
+    empirically against torch in tests/test_convert.py).
+    """
+    w = p["w"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    y = jax.lax.conv_transpose(
+        x, jnp.swapaxes(w, 2, 3), (stride, stride), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
 # ---------------------------------------------------------------------------
 # BatchNorm — explicit running-stat state threading (no mutation)
 # ---------------------------------------------------------------------------
