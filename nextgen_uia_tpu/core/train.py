@@ -54,36 +54,49 @@ def init_state(trainable_params, optimizer):
 
 
 def make_train_step(loss_fn: Callable[..., Any], optimizer, cfg: TrainConfig,
-                    *, donate: bool = True, extra_shardings=None):
+                    *, donate: bool = True, has_aux: bool = False):
     """Build the jitted update function.
 
-    loss_fn(trainable_params, frozen_params, microbatch, rng) -> scalar loss
-    (or (loss, aux) — detected via has_aux=False here; keep it scalar).
+    loss_fn(trainable_params, frozen_params, microbatch, rng) -> scalar loss,
+    or (loss, aux) when has_aux=True (aux = e.g. updated batchnorm state; the
+    last microbatch's aux is returned in metrics['aux']).
 
     Returned step(state, frozen, batch, rng) expects batch leaves shaped
     [accum_steps, micro_bs, ...] (use ``stack_microbatches``) and returns
     (new_state, metrics dict with 'loss', 'grad_norm', 'skipped').
     """
 
-    grad_fn = jax.value_and_grad(loss_fn)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=has_aux)
 
     def step(state, frozen, batch, rng):
         params = state["params"]
 
         def micro(carry, xs):
-            grads_acc, loss_acc, count = carry
+            grads_acc, loss_acc, count, _ = carry
             mb, mb_rng = xs
-            loss, grads = grad_fn(params, frozen, mb, mb_rng)
+            if has_aux:
+                (loss, aux), grads = grad_fn(params, frozen, mb, mb_rng)
+            else:
+                loss, grads = grad_fn(params, frozen, mb, mb_rng)
+                aux = None
             ok = jnp.isfinite(loss)
             # skip non-finite microbatches (finetune.py:281-285)
             grads = jax.tree_util.tree_map(
                 lambda g, a: a + jnp.where(ok, g, 0.0), grads, grads_acc)
-            return (grads, loss_acc + jnp.where(ok, loss, 0.0), count + ok), None
+            return (grads, loss_acc + jnp.where(ok, loss, 0.0), count + ok, aux), None
 
         zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
         rngs = jax.random.split(rng, cfg.accum_steps)
-        (grads, loss_sum, n_ok), _ = jax.lax.scan(
-            micro, (zero_grads, 0.0, jnp.zeros((), jnp.int32)), (batch, rngs))
+        aux0 = None
+        if has_aux:
+            # aux structure from one abstract eval (batchnorm state shapes)
+            aux0 = jax.eval_shape(
+                lambda: loss_fn(params, frozen,
+                                jax.tree_util.tree_map(lambda x: x[0], batch),
+                                rng)[1])
+            aux0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), aux0)
+        (grads, loss_sum, n_ok, aux), _ = jax.lax.scan(
+            micro, (zero_grads, 0.0, jnp.zeros((), jnp.int32), aux0), (batch, rngs))
 
         denom = jnp.maximum(n_ok, 1).astype(jnp.float32)
         grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
@@ -102,6 +115,8 @@ def make_train_step(loss_fn: Callable[..., Any], optimizer, cfg: TrainConfig,
         new_state = {"params": new_params, "opt": new_opt, "step": state["step"] + 1}
         metrics = {"loss": loss_sum / denom, "grad_norm": gnorm,
                    "skipped": cfg.accum_steps - n_ok}
+        if has_aux:
+            metrics["aux"] = aux
         return new_state, metrics
 
     donate_args = (0,) if donate else ()

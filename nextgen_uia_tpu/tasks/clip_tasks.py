@@ -182,16 +182,16 @@ def supervised_main(family: str, task: str, argv=None, *, fewshot: bool = False)
     defaults = dict(epochs=200, batch_size=32, strong_augs=True, weak_augs=True)
     p = base_parser(f"{family}_{task}", **defaults)
     if fewshot:
+        import argparse as _ap
+
         p.add_argument("--shots_per_class", type=int, default=None)
         p.add_argument("--train_ratio", type=float, default=None)
-        p.add_argument("--stratified", default=True, action=argparse_bool())
+        p.add_argument("--stratified", default=True, action=_ap.BooleanOptionalAction)
     args = p.parse_args(argv)
     rng = seed_everything(args.seed)
 
     run_path = setup_run(args, "test" if args.test else "train")
     cfg, hcfg, params = _build_supervised(args, family, task, rng)
-
-    trainable, frozen = partition(params, by_keywords("head", "mona", "lora"))
     logging.info(model_summary({"model": params},
                                trainable_pred=by_keywords("head", "mona", "lora")))
 
@@ -207,129 +207,22 @@ def supervised_main(family: str, task: str, argv=None, *, fewshot: bool = False)
         logging.info(f"Few-shot training subset: {len(sampled)} samples")
         args.batch_size = min(args.batch_size, max(len(sampled), 1))
 
-    loss_name = "focal" if task == "cls" else "dice_ce"
-
     fwd_train = _make_forward(cfg, hcfg, args, train=True)
     fwd_eval = _make_forward(cfg, hcfg, args, train=False)
 
-    def loss_fn(trainable_p, frozen_p, batch, rng):
-        params = merge(trainable_p, frozen_p)
-        masks = batch.get("mask")
-        logits, m = fwd_train(params, batch["image"], masks, rng)
-        if task == "cls":
-            return focal_loss(logits, batch["label"])
-        m_ichw = jnp.moveaxis(m, -1, 1).astype(jnp.int32)
-        return dice_ce_loss(logits, m_ichw)
+    def forward_train(params, bn, batch, rng):
+        logits, m = fwd_train(params, batch["image"], batch.get("mask"), rng)
+        if m is not None:
+            m = jnp.moveaxis(m, -1, 1).astype(jnp.int32)
+        return logits, m, None
 
-    @jax.jit
-    def eval_logits(trainable_p, frozen_p, images_u8):
-        params = merge(trainable_p, frozen_p)
+    def forward_eval(params, bn, images_u8):
         logits, _ = fwd_eval(params, images_u8, None, jax.random.key(0))
         return logits
 
-    def np_criterion(logits, labels):
-        if task == "cls":
-            return float(focal_loss(jnp.asarray(logits), jnp.asarray(labels)))
-        return float(dice_ce_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    from .supervised import Bundle, run_supervised
 
-    def evaluate(split, trainable_p):
-        accum = (ClsAccumulator if task == "cls" else SegAccumulator)(criterion=np_criterion)
-        names = []
-        vis = []
-        for batch in P.prefetch_to_device(
-                P.batches(datasets[split], args.batch_size, shuffle=False,
-                          drop_last=False, workers=args.num_workers)):
-            logits = eval_logits(trainable_p, frozen, batch["image"])
-            if task == "cls":
-                accum.update(np.asarray(logits), np.asarray(batch["label"]))
-            else:
-                gt = np.asarray(batch["mask"])[:, None, :, :]
-                accum.update(np.asarray(logits), gt)
-                names.extend(batch["name"])
-                vis.append((np.asarray(batch["image"]), gt, np.asarray(logits)))
-        return accum, names, vis
-
-    if not args.test:
-        n_train = len(datasets["train"])
-        steps_per_epoch = max(n_train // args.batch_size, 1)
-        tcfg = T.TrainConfig(lr=args.lr, lr_min=args.lr_min,
-                             weight_decay=args.weight_decay,
-                             beta1=0.9, beta2=0.999, grad_clip=0.0, accum_steps=1,
-                             total_updates=steps_per_epoch * args.epochs)
-        opt, _ = T.make_optimizer(tcfg)
-        state = T.init_state(trainable, opt)
-        step = T.make_train_step(loss_fn, opt, tcfg)
-        stopper = T.EarlyStopper(args.patience, mode="max")
-        writer = TBWriter(os.path.join(run_path, "log"))
-        best_path = os.path.join(run_path, "best_model.npz")
-        key_metric = "acc" if task == "cls" else "dice_mean"
-
-        k = jax.random.fold_in(rng, 123)
-        drop_last = n_train > args.batch_size
-        for epoch in range(args.epochs):
-            epoch_loss, nb = 0.0, 0
-            for batch in P.prefetch_to_device(
-                    P.batches(datasets["train"], args.batch_size, shuffle=True,
-                              drop_last=drop_last, seed=args.seed + epoch,
-                              workers=args.num_workers)):
-                k, k1 = jax.random.split(k)
-                mb = {kk: v for kk, v in batch.items() if kk != "name"}
-                mb = T.stack_microbatches(mb, 1)
-                state, m = step(state, frozen, mb, k1)
-                epoch_loss += float(m["loss"])
-                nb += 1
-            writer.scalar("train/loss", epoch_loss / max(nb, 1), epoch + 1)
-
-            if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
-                trainable_now = state["params"]
-                accum, _, _ = evaluate("val", trainable_now)
-                stats = accum.compute()
-                val_metric = stats[key_metric]
-                writer.scalar(f"val/{key_metric}", val_metric, epoch + 1)
-                logging.info(f"Epoch {epoch + 1}: loss={epoch_loss / max(nb, 1):.4f} "
-                             f"val {key_metric}={val_metric:.4f}")
-                if stopper.update(val_metric, epoch):
-                    n = ckpt.save(best_path, {"params": trainable_now})
-                    logging.info(f"Best model saved ({n} tensors) at epoch {epoch + 1}")
-                # reference also evaluates test mid-training (segmentation.py:259-277)
-                taccum, _, _ = evaluate("test", trainable_now)
-                tstats = taccum.compute()
-                logging.info(f"  [test during training] {key_metric}={tstats[key_metric]:.4f}")
-                if stopper.should_stop:
-                    logging.info(f"Early stopping at epoch {epoch + 1}")
-                    break
-        writer.close()
-        if os.path.exists(best_path):
-            loaded, _ = ckpt.load_into(best_path, {"params": trainable})
-            trainable = loaded["params"]
-    else:
-        if args.head_weights is None:
-            default_best = os.path.join("runs", args.exp, args.dataset, "train", "best_model.npz")
-            if os.path.exists(default_best):
-                loaded, n = ckpt.load_into(default_best, {"params": trainable})
-                trainable = loaded["params"]
-                logging.info(f"Loaded {n} tensors from {default_best}")
-
-    accum, names, vis = evaluate("test", trainable)
-    stats = accum.compute()
-    if task == "cls":
-        folder = _finish_cls(args, accum, stats, run_path, f"roc_curve_{family}_{task}")
-    else:
-        logging.info(" ".join(f"{k}={v:.4f}" for k, v in stats.items()))
-        folder = backup_folder(run_path, "iou", stats["iou_mean"] * 100)
-        save_results_csv(stats, os.path.join(folder, "results.csv"), scale100=())
-        viz_path = os.path.join(folder, "viz")
-        for images_u8, gt, logits in vis:
-            imgs = images_u8.astype(np.float32)[:, None, :, :] / 255.0
-            preds = one_hot_argmax(logits)
-            visualize_seg(imgs, gt, preds,
-                          names[:len(imgs)], viz_path)
-            names = names[len(imgs):]
-        archive_log(run_path, folder)
-    return stats
-
-
-def argparse_bool():
-    import argparse
-
-    return argparse.BooleanOptionalAction
+    bundle = Bundle(task=task, params=params,
+                    trainable_pred=by_keywords("head", "mona", "lora"),
+                    forward_train=forward_train, forward_eval=forward_eval)
+    return run_supervised(args, bundle, datasets, run_path, f"{family}_{task}")

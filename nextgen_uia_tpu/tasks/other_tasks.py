@@ -1,0 +1,325 @@
+"""Task drivers for CLIPSeg, DINOv2, and the ResNet/UNet baselines.
+
+  - clipseg_segmentation_main: vendored-CLIP tower + pretrained FiLM decoder,
+    one dense prompt per dataset as conditioning, DiceCE, decoder-only
+    training/checkpoints (src/models/clipseg/segmentation.py; default 1000
+    epochs, single-channel logits expanded to 2 classes by negation,
+    clipseg_adapter.py:92-96).
+  - dino_classification_main / dino_segmentation_main: frozen DINOv2 B/14
+    encoder; ClassificationHead over the last 4 blocks, or Linear/UNet
+    decoders (src/models/dino/*.py; --decoder_type).
+  - baselines_*: torchvision-style ResNets (--version) for classification,
+    UNet for segmentation, plus few-shot variants
+    (src/models/baselines/*.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import checkpoint as ckpt
+from ..core.experiment import model_summary
+from ..core.partition import by_keywords
+from ..data import datasets as D
+from ..models import clip as clip_mod
+from ..models import dinov2 as DV
+from ..models.heads import (ClipSegDecoderConfig, clipseg_decoder_apply,
+                            clipseg_decoder_init)
+from ..models.resnet import resnet_apply, resnet_init
+from ..models.unet import unet_apply, unet_init
+from . import prompts as PR
+from .clip_tasks import extract_layers_for
+from .common import base_parser, build_clip_model, get_text_tokenizer, seed_everything, setup_run
+from .supervised import Bundle, preprocess, run_supervised
+
+
+def _apply_fewshot(args, datasets, data_task):
+    labels = D.read_labels(args.data_root, args.dataset) if data_task == "cls" else None
+    sampled = D.sample_few_shot(
+        datasets["train"].names, labels or {}, rng=np.random.default_rng(args.seed),
+        shots_per_class=getattr(args, "shots_per_class", None),
+        train_ratio=getattr(args, "train_ratio", None),
+        stratified=getattr(args, "stratified", True))
+    datasets["train"].names = sampled
+    logging.info(f"Few-shot training subset: {len(sampled)} samples")
+    args.batch_size = min(args.batch_size, max(len(sampled), 1))
+
+
+def _add_fewshot_flags(p):
+    p.add_argument("--shots_per_class", type=int, default=None)
+    p.add_argument("--train_ratio", type=float, default=None)
+    p.add_argument("--stratified", default=True, action=argparse.BooleanOptionalAction)
+
+
+# ---------------------------------------------------------------------------
+# CLIPSeg
+# ---------------------------------------------------------------------------
+
+
+def clipseg_segmentation_main(argv=None):
+    p = base_parser("clipseg_segmentation", epochs=1000, batch_size=32,
+                    strong_augs=True, weak_augs=True)
+    p.add_argument("--version", type=str, default="ViT-B/16")
+    p.add_argument("--ckpt", type=str, default="ckpt/ViT-B-16.pt")
+    p.add_argument("--reduce_dim", type=int, default=64,
+                   help="decoder reduce dim (CIDAS/clipseg-rd64-refined uses 64)")
+    p.add_argument("--decoder_ckpt", type=str, default=None,
+                   help="converted CLIPSeg decoder .npz (convert/clipseg_decoder)")
+    args = p.parse_args(argv)
+    rng = seed_everything(args.seed)
+    run_path = setup_run(args, "test" if args.test else "train")
+
+    cfg, backbone = build_clip_model(args, "openai", rng=rng)
+    dcfg = ClipSegDecoderConfig(
+        hidden_size=cfg.vision.width, reduce_dim=args.reduce_dim,
+        cond_dim=cfg.text.embed_dim,
+        extract_layers=extract_layers_for(cfg.vision.depth),
+        patch_size=cfg.vision.patch_size)
+    decoder = clipseg_decoder_init(jax.random.fold_in(rng, 3), dcfg)
+    params = {"backbone": backbone, "head": decoder}
+    if args.decoder_ckpt:
+        loaded, n = ckpt.load_into(args.decoder_ckpt, {"head": decoder})
+        params["head"] = loaded["head"]
+        logging.info(f"Loaded {n} decoder tensors from {args.decoder_ckpt}")
+    logging.info(model_summary({"model": params}, trainable_pred=by_keywords("head")))
+
+    tokenizer = get_text_tokenizer(args, "openai")
+    prompt = PR.clipseg_prompt_for(args.dataset)
+    prompt_tokens = jnp.asarray(tokenizer([prompt]))  # [1, 77]
+
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="seg")
+
+    def model_logits(params, x, train, rng):
+        _, acts = clip_mod.encode_image(params["backbone"], cfg, x,
+                                        extract_layers=dcfg.extract_layers)
+        cond = clip_mod.encode_text(params["backbone"], cfg, prompt_tokens)
+        cond = jnp.broadcast_to(cond, (x.shape[0], cond.shape[-1]))
+        single = clipseg_decoder_apply(params["head"], dcfg, acts, cond)  # [B,H,W]
+        # 1-channel -> 2-class logits by negation (clipseg_adapter.py:92-96)
+        return jnp.stack([-single, single], axis=1)
+
+    def forward_train(params, bn, batch, rng):
+        x, m = preprocess(batch["image"], batch.get("mask"), args, train=True, rng=rng)
+        return model_logits(params, x, True, rng), m, None
+
+    def forward_eval(params, bn, images_u8):
+        x, _ = preprocess(images_u8, None, args, train=False, rng=None)
+        return model_logits(params, x, False, None)
+
+    bundle = Bundle(task="seg", params=params, trainable_pred=by_keywords("head"),
+                    forward_train=forward_train, forward_eval=forward_eval,
+                    beta2=0.95)
+    datasets_ = datasets
+    return run_supervised(args, bundle, datasets_, run_path, "clipseg_segmentation")
+
+
+# ---------------------------------------------------------------------------
+# DINOv2
+# ---------------------------------------------------------------------------
+
+
+def _build_dino(args, rng):
+    import dataclasses
+
+    cfg = DV.DINOV2_B14
+    if getattr(args, "debug_tiny", False):
+        cfg = dataclasses.replace(cfg, width=64, depth=5, heads=4)
+    params = DV.dinov2_init(rng, cfg)
+    if args.backbone_ckpt:
+        from ..core import checkpoint as _ck
+
+        wrapped = {"encoder": params}
+        try:
+            wrapped, n = _ck.load_into(args.backbone_ckpt, wrapped)
+            params = wrapped["encoder"]
+        except ValueError:
+            params, n = _ck.load_into(args.backbone_ckpt, params)
+        logging.info(f"Loaded {n} DINOv2 tensors from {args.backbone_ckpt}")
+    else:
+        logging.warning("No --backbone_ckpt: DINOv2 weights are RANDOM "
+                        "(convert with nextgen_uia_tpu.convert dinov2)")
+    return cfg, params
+
+
+def dino_classification_main(argv=None, *, fewshot: bool = False):
+    p = base_parser("dino_classification", epochs=200, batch_size=32,
+                    strong_augs=True, weak_augs=True)
+    p.set_defaults(patch_size=14)
+    if fewshot:
+        _add_fewshot_flags(p)
+    args = p.parse_args(argv)
+    rng = seed_everything(args.seed)
+    run_path = setup_run(args, "test" if args.test else "train")
+
+    cfg, encoder = _build_dino(args, rng)
+    head = DV.cls_head_init(jax.random.fold_in(rng, 5), cfg.width,
+                            num_classes=args.num_classes, layers=4)
+    params = {"encoder": encoder, "head": head}
+    logging.info(model_summary({"model": params}, trainable_pred=by_keywords("head")))
+
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="cls")
+    if fewshot:
+        _apply_fewshot(args, datasets, "cls")
+
+    def logits_fn(params, x):
+        feats = DV.get_intermediate_layers(params["encoder"], x, 4, cfg)
+        return DV.cls_head_apply(params["head"], feats, layers=4)
+
+    def forward_train(params, bn, batch, rng):
+        x, _ = preprocess(batch["image"], None, args, train=True, rng=rng)
+        return logits_fn(params, x), None, None
+
+    def forward_eval(params, bn, images_u8):
+        x, _ = preprocess(images_u8, None, args, train=False, rng=None)
+        return logits_fn(params, x)
+
+    bundle = Bundle(task="cls", params=params, trainable_pred=by_keywords("head"),
+                    forward_train=forward_train, forward_eval=forward_eval, beta2=0.95)
+    return run_supervised(args, bundle, datasets, run_path, "dino_classification")
+
+
+def dino_segmentation_main(argv=None, *, fewshot: bool = False):
+    p = base_parser("dino_segmentation", epochs=200, batch_size=32,
+                    strong_augs=True, weak_augs=True)
+    p.set_defaults(patch_size=14)
+    p.add_argument("--decoder_type", type=str, default="unet", choices=["linear", "unet"])
+    if fewshot:
+        _add_fewshot_flags(p)
+    args = p.parse_args(argv)
+    rng = seed_everything(args.seed)
+    run_path = setup_run(args, "test" if args.test else "train")
+
+    cfg, encoder = _build_dino(args, rng)
+    bn_state = None
+    if args.decoder_type == "unet":
+        head, bn_state = DV.unet_decoder_init(jax.random.fold_in(rng, 5), cfg.width,
+                                              num_classes=args.num_classes)
+    else:
+        head = DV.linear_decoder_init(jax.random.fold_in(rng, 5), cfg.width,
+                                      num_classes=args.num_classes)
+    params = {"encoder": encoder, "head": head}
+    logging.info(model_summary({"model": params}, trainable_pred=by_keywords("head")))
+
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="seg")
+    if fewshot:
+        _apply_fewshot(args, datasets, "seg")
+
+    n_layers = 5 if args.decoder_type == "unet" else 1
+
+    def logits_fn(params, bn, x, train):
+        feats = DV.get_intermediate_layers(params["encoder"], x, n_layers, cfg)
+        feats = jax.lax.stop_gradient(feats)  # frozen encoder (dino/segmentation.py)
+        if args.decoder_type == "unet":
+            return DV.unet_decoder_apply(params["head"], bn, feats,
+                                         image_size=args.img_size,
+                                         patch_size=args.patch_size, train=train)
+        return DV.linear_decoder_apply(params["head"], feats[-1][0],
+                                       image_size=args.img_size,
+                                       patch_size=args.patch_size), None
+
+    def forward_train(params, bn, batch, rng):
+        x, m = preprocess(batch["image"], batch.get("mask"), args, train=True, rng=rng)
+        logits, new_bn = logits_fn(params, bn, x, True)
+        return logits, m, new_bn
+
+    def forward_eval(params, bn, images_u8):
+        x, _ = preprocess(images_u8, None, args, train=False, rng=None)
+        logits, _ = logits_fn(params, bn, x, False)
+        return logits
+
+    bundle = Bundle(task="seg", params=params, trainable_pred=by_keywords("head"),
+                    forward_train=forward_train, forward_eval=forward_eval,
+                    bn_state=bn_state, beta2=0.95)
+    return run_supervised(args, bundle, datasets, run_path, "dino_segmentation")
+
+
+# ---------------------------------------------------------------------------
+# Baselines
+# ---------------------------------------------------------------------------
+
+
+def baselines_classification_main(argv=None, *, fewshot: bool = False):
+    p = base_parser("baselines_classification", epochs=200, batch_size=32,
+                    strong_augs=True, weak_augs=True)
+    p.add_argument("--version", type=str, default="resnet18")
+    if fewshot:
+        _add_fewshot_flags(p)
+    args = p.parse_args(argv)
+    rng = seed_everything(args.seed)
+    run_path = setup_run(args, "test" if args.test else "train")
+
+    params, bn_state = resnet_init(rng, args.version, in_channels=args.in_channels,
+                                   num_classes=args.num_classes)
+    if args.backbone_ckpt:
+        flat_state_prefix = "__state__/"
+        loaded, n = ckpt.load_into(args.backbone_ckpt, params)
+        params = loaded
+        logging.info(f"Loaded {n} ResNet tensors from {args.backbone_ckpt}")
+    params = {"model": params}
+    logging.info(model_summary({"model": params}, trainable_pred=lambda _: True))
+
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="cls")
+    if fewshot:
+        _apply_fewshot(args, datasets, "cls")
+
+    def forward_train(p_, bn, batch, rng):
+        x, _ = preprocess(batch["image"], None, args, train=True, rng=rng,
+                          in_channels=args.in_channels)
+        logits, new_bn = resnet_apply(p_["model"], bn, x, args.version, train=True)
+        return logits, None, new_bn
+
+    def forward_eval(p_, bn, images_u8):
+        x, _ = preprocess(images_u8, None, args, train=False, rng=None,
+                          in_channels=args.in_channels)
+        logits, _ = resnet_apply(p_["model"], bn, x, args.version, train=False)
+        return logits
+
+    bundle = Bundle(task="cls", params=params, trainable_pred=lambda _: True,
+                    forward_train=forward_train, forward_eval=forward_eval,
+                    bn_state=bn_state, beta2=0.95)
+    return run_supervised(args, bundle, datasets, run_path, "baselines_classification")
+
+
+def baselines_segmentation_main(argv=None, *, fewshot: bool = False):
+    p = base_parser("baselines_segmentation", epochs=200, batch_size=32,
+                    strong_augs=True, weak_augs=True)
+    p.set_defaults(in_channels=1)
+    p.add_argument("--init_channels", type=int, default=16)
+    if fewshot:
+        _add_fewshot_flags(p)
+    args = p.parse_args(argv)
+    rng = seed_everything(args.seed)
+    run_path = setup_run(args, "test" if args.test else "train")
+
+    params, bn_state = unet_init(rng, args.in_channels, args.num_classes,
+                                 init_channels=args.init_channels)
+    params = {"model": params}
+    logging.info(model_summary({"model": params}, trainable_pred=lambda _: True))
+
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="seg")
+    if fewshot:
+        _apply_fewshot(args, datasets, "seg")
+
+    def forward_train(p_, bn, batch, rng):
+        rng, drng = jax.random.split(rng)
+        x, m = preprocess(batch["image"], batch.get("mask"), args, train=True,
+                          rng=rng, in_channels=args.in_channels)
+        logits, new_bn = unet_apply(p_["model"], bn, x, train=True, rng=drng)
+        return logits, m, new_bn
+
+    def forward_eval(p_, bn, images_u8):
+        x, _ = preprocess(images_u8, None, args, train=False, rng=None,
+                          in_channels=args.in_channels)
+        logits, _ = unet_apply(p_["model"], bn, x, train=False)
+        return logits
+
+    bundle = Bundle(task="seg", params=params, trainable_pred=lambda _: True,
+                    forward_train=forward_train, forward_eval=forward_eval,
+                    bn_state=bn_state, beta2=0.95)
+    return run_supervised(args, bundle, datasets, run_path, "baselines_segmentation")

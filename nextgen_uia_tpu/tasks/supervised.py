@@ -1,0 +1,218 @@
+"""Shared supervised train/eval loop, parameterized by a model bundle.
+
+All supervised drivers (CLIP-family pyramid heads, CLIPSeg, DINOv2 heads,
+ResNet/UNet baselines) run through this one engine — the reference's repeated
+driver pattern (SURVEY.md §2.3) implemented once: AdamW + per-update cosine,
+validate every ``val_interval`` epochs (test split also evaluated
+mid-training, segmentation.py:259-277), best-by-metric component checkpoint,
+early stop, final test with overlays/ROC + results.csv + timestamped backup.
+
+A bundle provides:
+  task            'cls' | 'seg'
+  params          full param tree
+  bn_state        batch-stat tree or None
+  trainable_pred  path predicate for the trainable subset
+  forward_train(params, bn_state, batch, rng) -> (logits, aug_masks, new_bn)
+  forward_eval(params, bn_state, images_u8)   -> logits
+Logits are [B, C] (cls) or [B, C, H, W] (seg); masks NCHW int.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import checkpoint as ckpt
+from ..core import train as T
+from ..core.experiment import (TBWriter, archive_log, backup_folder,
+                               save_results_csv)
+from ..core.partition import merge, partition
+from ..data import pipeline as P
+from ..losses import dice_ce_loss, focal_loss
+from ..metrics.segmentation import ClsAccumulator, SegAccumulator, one_hot_argmax
+from ..utils.viz import plot_roc, visualize_seg
+
+
+def preprocess(images_u8, masks_u8, args, *, train: bool, rng, in_channels: int = 3):
+    """uint8 [B,H,W] -> float NHWC in [0,1] with on-device augmentation
+    (classification.py:184-200 semantics). Returns (x, masks_nchw_int|None)."""
+    from ..data.augment import augment_batch
+
+    x = images_u8.astype(jnp.float32)[..., None] / 255.0
+    m = None
+    if masks_u8 is not None:
+        m = masks_u8.astype(jnp.float32)[..., None]
+    if train and (args.strong_augs or args.weak_augs):
+        rng, arng = jax.random.split(rng)
+        x, m = augment_batch(arng, x, m, strong=args.strong_augs,
+                             weak=args.weak_augs, out_size=args.img_size)
+    if in_channels == 3:
+        x = jnp.repeat(x, 3, axis=-1)
+    if m is not None:
+        m = jnp.moveaxis(m, -1, 1).astype(jnp.int32)
+    return x, m
+
+
+@dataclass
+class Bundle:
+    task: str
+    params: Any
+    trainable_pred: Callable[[str], bool]
+    forward_train: Callable
+    forward_eval: Callable
+    bn_state: Any = None
+    beta2: float = 0.999
+
+
+def np_criterion_for(task: str):
+    if task == "cls":
+        return lambda lo, la: float(focal_loss(jnp.asarray(lo), jnp.asarray(la)))
+    return lambda lo, la: float(dice_ce_loss(jnp.asarray(lo), jnp.asarray(la)))
+
+
+def finish_cls(args, acc, stats, run_path, fig_name):
+    logits, labels = acc.all()
+    df_stats = {k: stats[k] for k in ("acc", "rec", "pre", "f1", "auc")}
+    logging.info("  ".join(f"{k}={v * 100:.2f}" for k, v in df_stats.items()))
+    folder = backup_folder(run_path, "acc", stats["acc"] * 100)
+    save_results_csv(df_stats, os.path.join(folder, "results.csv"))
+    plot_roc(logits, labels, os.path.join(folder, f"{fig_name}.png"))
+    archive_log(run_path, folder)
+    return folder
+
+
+def finish_seg(args, stats, names, vis, run_path):
+    logging.info(" ".join(f"{k}={v:.4f}" for k, v in stats.items()))
+    folder = backup_folder(run_path, "iou", stats["iou_mean"] * 100)
+    save_results_csv(stats, os.path.join(folder, "results.csv"), scale100=())
+    viz_path = os.path.join(folder, "viz")
+    rest = list(names)
+    for images_u8, gt, logits in vis:
+        imgs = images_u8.astype(np.float32)[:, None, :, :] / 255.0
+        visualize_seg(imgs, gt, one_hot_argmax(logits), rest[:len(imgs)], viz_path)
+        rest = rest[len(imgs):]
+    archive_log(run_path, folder)
+    return folder
+
+
+def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
+    task = bundle.task
+    trainable, frozen = partition(bundle.params, bundle.trainable_pred)
+    frozen_pack = {"params": frozen, "bn": bundle.bn_state}
+
+    def loss_fn(trainable_p, frozen_p, batch, rng):
+        params = merge(trainable_p, frozen_p["params"])
+        logits, m, new_bn = bundle.forward_train(params, frozen_p["bn"], batch, rng)
+        if task == "cls":
+            loss = focal_loss(logits, batch["label"])
+        else:
+            loss = dice_ce_loss(logits, m)
+        return loss, new_bn
+
+    eval_jit = jax.jit(lambda tp, fp, bn, img: bundle.forward_eval(
+        merge(tp, fp), bn, img))
+
+    def evaluate(split, trainable_p, bn_state):
+        accum = (ClsAccumulator if task == "cls" else SegAccumulator)(
+            criterion=np_criterion_for(task))
+        names, vis = [], []
+        for batch in P.prefetch_to_device(
+                P.batches(datasets[split], args.batch_size, shuffle=False,
+                          drop_last=False, workers=args.num_workers)):
+            logits = eval_jit(trainable_p, frozen, bn_state, batch["image"])
+            if task == "cls":
+                accum.update(np.asarray(logits), np.asarray(batch["label"]))
+            else:
+                gt = np.asarray(batch["mask"])[:, None, :, :]
+                accum.update(np.asarray(logits), gt)
+                names.extend(batch["name"])
+                vis.append((np.asarray(batch["image"]), gt, np.asarray(logits)))
+        return accum, names, vis
+
+    bn_state = bundle.bn_state
+    best_path = os.path.join(run_path if not args.test else
+                             os.path.join("runs", args.exp, args.dataset, "train"),
+                             "best_model.npz")
+
+    if not args.test:
+        n_train = len(datasets["train"])
+        steps_per_epoch = max(n_train // args.batch_size, 1)
+        tcfg = T.TrainConfig(lr=args.lr, lr_min=args.lr_min,
+                             weight_decay=args.weight_decay,
+                             beta1=0.9, beta2=bundle.beta2, grad_clip=0.0,
+                             accum_steps=1, total_updates=steps_per_epoch * args.epochs)
+        opt, _ = T.make_optimizer(tcfg)
+        state = T.init_state(trainable, opt)
+        step = T.make_train_step(loss_fn, opt, tcfg, has_aux=True)
+        stopper = T.EarlyStopper(args.patience, mode="max")
+        writer = TBWriter(os.path.join(run_path, "log"))
+        key_metric = "acc" if task == "cls" else "dice_mean"
+
+        k = jax.random.fold_in(jax.random.key(args.seed), 123)
+        drop_last = n_train > args.batch_size
+        for epoch in range(args.epochs):
+            epoch_loss, nb = 0.0, 0
+            for batch in P.prefetch_to_device(
+                    P.batches(datasets["train"], args.batch_size, shuffle=True,
+                              drop_last=drop_last, seed=args.seed + epoch,
+                              workers=args.num_workers)):
+                k, k1 = jax.random.split(k)
+                mb = {kk: v for kk, v in batch.items() if kk != "name"}
+                mb = T.stack_microbatches(mb, 1)
+                frozen_pack = {"params": frozen, "bn": bn_state}
+                state, m = step(state, frozen_pack, mb, k1)
+                if bn_state is not None:
+                    bn_state = m["aux"]
+                epoch_loss += float(m["loss"])
+                nb += 1
+            writer.scalar("train/loss", epoch_loss / max(nb, 1), epoch + 1)
+
+            if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
+                trainable_now = state["params"]
+                accum, _, _ = evaluate("val", trainable_now, bn_state)
+                stats = accum.compute()
+                val_metric = stats[key_metric]
+                writer.scalar(f"val/{key_metric}", val_metric, epoch + 1)
+                logging.info(f"Epoch {epoch + 1}: loss={epoch_loss / max(nb, 1):.4f} "
+                             f"val {key_metric}={val_metric:.4f}")
+                if stopper.update(val_metric, epoch):
+                    payload = {"params": trainable_now}
+                    if bn_state is not None:
+                        payload["bn"] = bn_state
+                    n = ckpt.save(best_path, payload)
+                    logging.info(f"Best model saved ({n} tensors) at epoch {epoch + 1}")
+                taccum, _, _ = evaluate("test", trainable_now, bn_state)
+                logging.info(f"  [test during training] {key_metric}="
+                             f"{taccum.compute()[key_metric]:.4f}")
+                if stopper.should_stop:
+                    logging.info(f"Early stopping at epoch {epoch + 1}")
+                    break
+        writer.close()
+
+    if os.path.exists(best_path):
+        payload = {"params": trainable}
+        if bn_state is not None:
+            payload["bn"] = bn_state
+        loaded, n = ckpt.load_into(best_path, payload)
+        trainable = loaded["params"]
+        if bn_state is not None:
+            bn_state = loaded["bn"]
+        logging.info(f"Loaded {n} tensors from {best_path}")
+    elif args.test and args.head_weights:
+        loaded, n = ckpt.load_into(args.head_weights, {"params": trainable})
+        trainable = loaded["params"]
+        logging.info(f"Loaded {n} tensors from {args.head_weights}")
+
+    accum, names, vis = evaluate("test", trainable, bn_state)
+    stats = accum.compute()
+    if task == "cls":
+        finish_cls(args, accum, stats, run_path, f"roc_curve_{tag}")
+    else:
+        finish_seg(args, stats, names, vis, run_path)
+    return stats

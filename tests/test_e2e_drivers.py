@@ -1,0 +1,57 @@
+"""End-to-end smoke tests for representative task CLIs on synthetic data.
+
+One fast driver per engine path: the baselines UNet covers the supervised
+loop with batch-stat aux threading; the zero-shot CLI covers the inference
+path + artifact conventions. The heavier CLIP/dino drivers are exercised in
+the same engine and are driven manually (see .claude/skills/verify)."""
+
+import os
+
+import pytest
+
+from synth_data import make_synth_root
+
+
+@pytest.fixture()
+def synth(tmp_path, monkeypatch):
+    root, name, _ = make_synth_root(tmp_path / "data", dataset="BUSI", n=12, img_size=32)
+    monkeypatch.chdir(tmp_path)
+    return str(root)
+
+
+COMMON = ["--dataset", "BUSI", "--img_size", "32", "--batch_size", "4",
+          "--epochs", "2", "--val_interval", "2", "--num_workers", "2",
+          "--patience", "3"]
+
+
+def test_baselines_segmentation_e2e(synth):
+    from nextgen_uia_tpu.tasks.baselines.segmentation import main
+
+    stats = main(COMMON + ["--data_root", synth, "--exp", "t", "--init_channels", "2"])
+    assert "dice_mean" in stats
+    # artifacts: best ckpt + backup folder with results.csv
+    assert os.path.exists("runs/t/BUSI/train/best_model.npz")
+    backups = [d for d in os.listdir("runs/t/BUSI/train") if "_iou=" in d]
+    assert backups and os.path.exists(f"runs/t/BUSI/train/{backups[0]}/results.csv")
+
+
+def test_zero_shot_e2e(synth):
+    from nextgen_uia_tpu.tasks.biomedclip.zero_shot import main
+
+    stats = main(["--dataset", "BUSI", "--img_size", "32", "--batch_size", "4",
+                  "--data_root", synth, "--debug_tiny", "--exp", "zs",
+                  "--num_workers", "2"])
+    assert {"acc", "auc", "f1"} <= set(stats)
+    test_dir = "runs/zs/BUSI/test"
+    backups = [d for d in os.listdir(test_dir) if "_acc=" in d]
+    assert backups
+    files = os.listdir(os.path.join(test_dir, backups[0]))
+    assert "results.csv" in files and any(f.endswith(".png") for f in files)
+
+
+def test_fewshot_classification_e2e(synth):
+    from nextgen_uia_tpu.tasks.baselines.fewshot_classification import main
+
+    stats = main(COMMON + ["--data_root", synth, "--exp", "fs",
+                           "--version", "resnet18", "--shots_per_class", "1"])
+    assert "acc" in stats
