@@ -81,12 +81,13 @@ def bert_apply(p, cfg: BertConfig, token_ids, *, attention_mask=None, dtype=None
     x = x + embedding(emb["token_type"], jnp.zeros_like(token_ids), dtype=x.dtype)
     x = layernorm(emb["ln"], x, eps=cfg.ln_eps)
 
-    # additive mask [B, 1, 1, L]: 0 where attended, -1e9 where padded
-    add_mask = (1.0 - attention_mask)[:, None, None, :] * -1e9
+    # additive key-padding bias [B, L]: 0 where attended, -1e9 where padded
+    pad_bias = (1.0 - attention_mask) * -1e9
 
     for layer in p["layers"]:
         # post-norm residual blocks (HF BERT layout)
-        a = mha(layer["attn"], x, num_heads=cfg.heads, mask=add_mask, dtype=dtype)
+        a = mha(layer["attn"], x, num_heads=cfg.heads, key_padding_bias=pad_bias,
+                dtype=dtype)
         x = layernorm(layer["attn_ln"], x + a, eps=cfg.ln_eps)
         h = linear(layer["ffn"]["fc1"], x, dtype=dtype)
         h = linear(layer["ffn"]["fc2"], gelu(h), dtype=dtype)

@@ -15,7 +15,6 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..nn.attention import causal_mask
 from ..nn.layers import embedding, embedding_init, layernorm, layernorm_init, linear, linear_init
 from .vit import ViTConfig, _block_init
 
@@ -53,10 +52,9 @@ def text_apply(p, cfg: TextConfig, token_ids, *, dtype=None):
     """token_ids [B, L] int32 -> [B, embed_dim]."""
     x = embedding(p["token_embedding"], token_ids, dtype=dtype)
     x = x + p["pos"][: x.shape[1]].astype(x.dtype)
-    mask = causal_mask(x.shape[1])
     blk_cfg = _as_vit_cfg(cfg)
     for blk in p["blocks"]:
-        x = _text_block(blk, x, blk_cfg, mask, dtype=dtype)
+        x = _text_block(blk, x, blk_cfg, dtype=dtype)
     x = layernorm(p["ln_final"], x, eps=cfg.ln_eps)
     # EOT pooling: feature at the position of the max token id (model.py:372)
     eot = jnp.argmax(token_ids, axis=-1)
@@ -64,13 +62,13 @@ def text_apply(p, cfg: TextConfig, token_ids, *, dtype=None):
     return linear(p["proj"], pooled, dtype=pooled.dtype)
 
 
-def _text_block(p, x, cfg: ViTConfig, mask, *, dtype=None):
+def _text_block(p, x, cfg: ViTConfig, *, dtype=None):
     from ..nn.attention import mha
     from ..nn.layers import ACTIVATIONS
 
     act = ACTIVATIONS[cfg.act]
     x = x + mha(p["attn"], layernorm(p["ln1"], x, eps=cfg.ln_eps),
-                num_heads=cfg.heads, mask=mask, dtype=dtype)
+                num_heads=cfg.heads, causal=True, dtype=dtype)
     h = linear(p["mlp"]["fc1"], layernorm(p["ln2"], x, eps=cfg.ln_eps), dtype=dtype)
     x = x + linear(p["mlp"]["fc2"], act(h), dtype=dtype)
     return x

@@ -43,12 +43,18 @@ def _proj_with_lora(p, lora, name, x, *, dtype, lora_scale):
     return y
 
 
-def mha(p, x, *, num_heads: int, mask=None, dtype=None, lora_alpha: float | None = None):
+def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
+        key_padding_bias=None, dtype=None, lora_alpha: float | None = None,
+        impl: str = "auto"):
     """Self-attention over [B, N, D].
 
-    mask: optional additive mask broadcastable to [B, H, N, N] (e.g. causal).
-    LoRA scaling follows the reference: alpha / sqrt(r)
-    (/root/reference/src/adapters/lora.py:21).
+    mask: optional generic additive mask broadcastable to [B, H, N, N]
+      (forces the einsum path). Structured cases use ``causal`` and
+      ``key_padding_bias`` ([B, N] additive) so the Pallas flash kernel can
+      serve them.
+    impl: 'auto' (flash on TPU, einsum elsewhere/with generic mask) |
+      'einsum' | 'flash'.
+    LoRA scaling follows the reference: alpha / sqrt(r) (lora.py:21).
     """
     b, n, d = x.shape
     head_dim = d // num_heads
@@ -66,13 +72,25 @@ def mha(p, x, *, num_heads: int, mask=None, dtype=None, lora_alpha: float | None
     k = k.reshape(b, n, num_heads, head_dim)
     v = v.reshape(b, n, num_heads, head_dim)
 
-    scale = 1.0 / math.sqrt(head_dim)
-    # [B, H, N, N] logits in f32 for numerical stability of the softmax
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-    if mask is not None:
-        logits = logits + mask
-    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+    use_flash = (impl == "flash" or
+                 (impl == "auto" and mask is None and jax.default_backend() == "tpu"))
+    if use_flash and mask is None:
+        from ..ops.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, bias=key_padding_bias, causal=causal)
+    else:
+        scale = 1.0 / math.sqrt(head_dim)
+        # [B, H, N, N] logits in f32 for numerical stability of the softmax
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            logits = logits + mask
+        if key_padding_bias is not None:
+            logits = logits + key_padding_bias[:, None, None, :]
+        if causal:
+            logits = logits + causal_mask(n)
+        weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
     out = out.reshape(b, n, d)
     return _proj_with_lora(p, lora, "o", out, dtype=dtype, lora_scale=lora_scale)
 

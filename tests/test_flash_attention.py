@@ -1,0 +1,88 @@
+"""Flash-attention kernel correctness vs the einsum reference (interpret mode)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nextgen_uia_tpu.ops.flash_attention import flash_attention
+
+
+def ref_attention(q, k, v, bias=None, causal=False):
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / math.sqrt(d)
+    if bias is not None:
+        logits = logits + bias[:, None, None, :]
+    if causal:
+        n = q.shape[1]
+        mask = jnp.triu(jnp.full((n, n), -jnp.inf), k=1)
+        logits = logits + mask[None, None]
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+
+@pytest.mark.parametrize("n,causal,with_bias", [
+    (197, False, False),   # ViT
+    (77, True, False),     # CLIP text
+    (256, False, True),    # BERT with padding mask
+    (33, False, False),    # odd small
+])
+def test_flash_forward_matches(n, causal, with_bias):
+    b, h, d = 2, 4, 64
+    ks = jax.random.split(jax.random.key(0), 4)
+    q = jax.random.normal(ks[0], (b, n, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, n, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, n, h, d), jnp.float32)
+    bias = None
+    if with_bias:
+        keep = jax.random.bernoulli(ks[3], 0.8, (b, n))
+        bias = jnp.where(keep, 0.0, -1e9).astype(jnp.float32)
+    ref = ref_attention(q, k, v, bias, causal)
+    out = flash_attention(q, k, v, bias=bias, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_flash_backward_matches():
+    b, n, h, d = 2, 33, 2, 64
+    ks = jax.random.split(jax.random.key(1), 3)
+    q = jax.random.normal(ks[0], (b, n, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, n, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, n, h, d), jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(ref_attention(q, k, v) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
+
+
+def test_flash_backward_causal_bias():
+    b, n, h, d = 2, 20, 2, 64
+    ks = jax.random.split(jax.random.key(2), 4)
+    q = jax.random.normal(ks[0], (b, n, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, n, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, n, h, d), jnp.float32)
+    keep = jax.random.bernoulli(ks[3], 0.7, (b, n))
+    bias = jnp.where(keep, 0.0, -1e9).astype(jnp.float32)
+
+    g_ref = jax.grad(lambda *a: jnp.sum(ref_attention(*a, bias=bias) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(lambda *a: jnp.sum(flash_attention(*a, bias=bias) ** 2),
+                    argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
+
+    gc_ref = jax.grad(lambda *a: jnp.sum(ref_attention(*a, causal=True) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+    gc_fl = jax.grad(lambda *a: jnp.sum(flash_attention(*a, causal=True) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gc_fl, gc_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
