@@ -59,3 +59,49 @@ def load_into(path: str, params):
     if counter["n"] == 0:
         raise ValueError(f"No parameters from {path} matched the model tree")
     return new_params, counter["n"]
+
+
+# ---------------------------------------------------------------------------
+# Mid-run resume — a capability the reference lacks (SURVEY.md §5.3: no
+# preemption handling, no resume-from-step). Saves the FULL train state
+# (params + optimizer state + step counter + host-side scalars) atomically.
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(path: str, state, extra: dict | None = None) -> int:
+    """Atomic full-state save; ``extra`` holds host scalars (epoch, best...)."""
+    import json
+
+    flat = {p: np.asarray(v) for p, v in flatten_with_paths(state) if v is not None}
+    tmp = path + ".tmp.npz"  # explicit .npz so np.savez doesn't append one
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+    if extra is not None:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(extra, f)
+    return len(flat)
+
+
+def load_train_state(path: str, state_template):
+    """Restore a full train state saved by save_train_state.
+
+    Returns (state, extra_dict). Strict: every leaf of the template must be
+    present in the checkpoint."""
+    import json
+
+    with np.load(path) as data:
+        saved = {k: data[k] for k in data.files}
+
+    def fill(p, v):
+        key = path_str(p)
+        if key not in saved:
+            raise KeyError(f"train-state checkpoint {path} is missing {key}")
+        return jax.numpy.asarray(saved[key])
+
+    state = jax.tree_util.tree_map_with_path(fill, state_template)
+    extra = {}
+    if os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            extra = json.load(f)
+    return state, extra

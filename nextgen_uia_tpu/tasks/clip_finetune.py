@@ -52,6 +52,9 @@ def _finetune_parser(family: str):
     p.add_argument("--finetune_csvs", type=str, nargs="*", default=None,
                    help="caption CSVs (default: MedPix + PMC-CURD under data_root)")
     p.add_argument("--finetune_img_dirs", type=str, nargs="*", default=None)
+    p.add_argument("--resume", default=False, action="store_true",
+                   help="Resume from runs/<exp>/last_state.npz (full train state; "
+                        "new capability — the reference has no mid-run resume)")
     return p
 
 
@@ -159,10 +162,22 @@ def finetune_main(family: str, argv=None):
     stopper = T.EarlyStopper(args.patience, mode="min")
     ckpt_keywords = {"mona": ["mona"], "lora": ["lora"], "full": None}[args.method]
     best_path = os.path.join(run_path, "best_model.npz")
+    last_path = os.path.join(run_path, "last_state.npz")
     k = jax.random.fold_in(rng, 1)
 
     update_count = 0
-    for epoch in range(args.epochs):
+    start_epoch = 0
+    if args.resume and os.path.exists(last_path):
+        state, meta = ckpt.load_train_state(last_path, state)
+        start_epoch = int(meta.get("epoch", 0))
+        update_count = int(meta.get("update_count", 0))
+        stopper.best = meta.get("best")
+        stopper.best_step = int(meta.get("best_epoch", -1))
+        stopper.counter = int(meta.get("patience_counter", 0))
+        logging.info(f"Resumed from {last_path} at epoch {start_epoch} "
+                     f"(step {int(state['step'])})")
+
+    for epoch in range(start_epoch, args.epochs):
         epoch_loss, nb = 0.0, 0
         for batch in P.prefetch_to_device(
                 tokenized_batches(train_ds, True, True, args.seed + epoch), sharding=bsh):
@@ -194,6 +209,10 @@ def finetune_main(family: str, argv=None):
             n = ckpt.save(best_path, full, keyword_filter=ckpt_keywords)
             logging.info(f"Best model saved ({n} tensors) at epoch {epoch + 1} "
                          f"with validation loss {stopper.best:.4f}")
+        ckpt.save_train_state(last_path, state, extra={
+            "epoch": epoch + 1, "update_count": update_count,
+            "best": stopper.best, "best_epoch": stopper.best_step,
+            "patience_counter": stopper.counter})
         if stopper.should_stop:
             logging.info(f"Early stopping at epoch {epoch + 1}")
             break
