@@ -37,9 +37,22 @@ def read_labels(root: str, dataset: str):
         return {str(row[0]): int(row[1]) for row in csv.reader(f) if row}
 
 
+_USE_NATIVE = os.environ.get("NEXTGEN_UIA_NATIVE_LOADER", "0") == "1"
+
+
 def load_image(path: str, img_size: int) -> np.ndarray:
-    """Grayscale load + nearest-PIL-default resize to [img_size, img_size],
-    uint8 (classification.py:176-181)."""
+    """Grayscale load + PIL-default (bicubic) resize to [img_size, img_size],
+    uint8 (classification.py:176-181). With NEXTGEN_UIA_NATIVE_LOADER=1 the
+    C++ loader (native/loader.cc) decodes instead — PIL-equivalent within
+    +-2 gray levels (float vs PIL's fixed-point filter arithmetic), much
+    faster on multi-core hosts."""
+    if _USE_NATIVE:
+        from . import native_loader
+
+        if native_loader.available():
+            batch, status = native_loader.decode_batch([path], img_size, gray=True)
+            if status[0]:
+                return batch[0, :, :, 0]
     img = Image.open(path).convert("L")
     if img.size != (img_size, img_size):
         img = img.resize((img_size, img_size))
