@@ -36,8 +36,11 @@ def main():
     from nextgen_uia_tpu.models import clip as clip_mod
     from __graft_entry__ import _flagship
 
+    from nextgen_uia_tpu.core.partition import cast_frozen_bf16
+
     cfg, params = _flagship(depth=12)
     trainable, frozen = partition(params, by_keywords("mona"))
+    frozen = cast_frozen_bf16(frozen)
 
     tcfg = T.TrainConfig(lr=1e-4, accum_steps=1, total_updates=1000)
     opt, _ = T.make_optimizer(tcfg)

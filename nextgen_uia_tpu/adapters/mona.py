@@ -40,9 +40,14 @@ import jax.numpy as jnp
 
 from ..nn.layers import conv_init, dropout, gelu, layernorm, layernorm_init, linear, linear_init
 
+import os
+
 VARIANTS = ("baseline", "noise_aware", "freq_enhanced", "hybrid")
 _HAS_FREQ = {"freq_enhanced", "hybrid"}
 _HAS_NOISE = {"noise_aware", "hybrid"}
+# noise-aware conv strategy: 'per_sample' (folded per-sample kernels, one
+# mega-grouped conv) or 'weighted' (shared 3-tap conv + per-sample reduce)
+_NOISE_CONV_MODE = os.environ.get("NEXTGEN_UIA_MONA_CONV", "per_sample")
 
 
 def mona_init(rng, dim: int, bottleneck: int = 64, variant: str = "hybrid"):
@@ -108,10 +113,13 @@ def _mona_op(p, s, variant: str):
     identity = s
     f = s
     if variant in _HAS_FREQ:
-        h, w = s.shape[1], s.shape[2]
-        sf = jnp.fft.rfft2(s.astype(jnp.float32), axes=(1, 2))
-        sf = sf * p["freq_filter"][None, None, None, :]
-        f = jnp.fft.irfft2(sf, s=(h, w), axes=(1, 2)).astype(s.dtype)
+        # The reference computes irfft2(rfft2(s) * filter_c) with a PER-CHANNEL
+        # scalar filter (mona.py:277,284-286): every frequency of channel c is
+        # scaled by the same f_c, so by linearity the whole round trip equals
+        # s * f_c exactly. We apply the algebraic identity — same math, same
+        # gradients, no FFTs on the hot path (validated against the reference's
+        # FFT formulation in tests/test_mona_parity.py).
+        f = s * p["freq_filter"].astype(s.dtype)[None, None, None, :]
 
     k3, k5, k7 = _embed_k(p["conv3"]["w"]), _embed_k(p["conv5"]["w"]), _embed_k(p["conv7"]["w"])
     b3, b5, b7 = p["conv3"]["b"], p["conv5"]["b"], p["conv7"]["b"]
@@ -120,11 +128,29 @@ def _mona_op(p, s, variant: str):
         pooled = jnp.mean(f.astype(jnp.float32), axis=(1, 2))  # [B, c]
         ne = p["noise_est"]
         wts = jax.nn.softmax(linear(ne["fc2"], jax.nn.relu(linear(ne["fc1"], pooled))), axis=-1)  # [B,3]
-        stacked_k = jnp.stack([k3, k5, k7], axis=0)  # [3,7,7,1,c]
-        per_sample_k = jnp.einsum("bs,shwic->bhwic", wts, stacked_k).astype(f.dtype)
-        stacked_b = jnp.stack([b3, b5, b7], axis=0)  # [3,c]
-        per_sample_b = (wts @ stacked_b).astype(f.dtype)  # [B,c]
-        y = _dwconv7_per_sample(f, per_sample_k) + per_sample_b[:, None, None, :]
+        if _NOISE_CONV_MODE == "per_sample":
+            # fold per-sample branch weights into per-sample 7x7 kernels,
+            # applied as ONE batch-in-channels grouped conv
+            stacked_k = jnp.stack([k3, k5, k7], axis=0)  # [3,7,7,1,c]
+            per_sample_k = jnp.einsum("bs,shwic->bhwic", wts, stacked_k).astype(f.dtype)
+            stacked_b = jnp.stack([b3, b5, b7], axis=0)  # [3,c]
+            per_sample_b = (wts @ stacked_b).astype(f.dtype)  # [B,c]
+            y = _dwconv7_per_sample(f, per_sample_k) + per_sample_b[:, None, None, :]
+        else:
+            # shared-kernel convs + per-sample weighted sum (one conv with 3x
+            # output channels via stacked kernels, then weighted reduce)
+            c = f.shape[-1]
+            # group-major ordering: out channel = ch*3 + tap
+            kstack = jnp.stack([k3, k5, k7], axis=-1).reshape(7, 7, 1, 3 * c).astype(f.dtype)
+            y3 = jax.lax.conv_general_dilated(
+                f, kstack, (1, 1), "SAME", feature_group_count=c,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            # conv with groups=c and 3 outputs per group: output channel
+            # layout is [c groups x 3 taps]
+            y3 = y3.reshape(*y3.shape[:-1], c, 3)
+            bstack = jnp.stack([b3, b5, b7], axis=-1).astype(f.dtype)  # [c, 3]
+            y3 = y3 + bstack[None, None, None]
+            y = jnp.einsum("bhwcs,bs->bhwc", y3, wts.astype(f.dtype))
     else:
         kernel = ((k3 + k5 + k7) / 3.0).astype(f.dtype)
         bias = ((b3 + b5 + b7) / 3.0).astype(f.dtype)

@@ -69,6 +69,18 @@ def count_params(tree) -> int:
     return sum(v.size for _, v in flatten_with_paths(tree) if v is not None)
 
 
+def cast_frozen_bf16(frozen):
+    """Cast a frozen param subtree to bf16 (halves weight-read HBM traffic;
+    safe for inference-only towers — LayerNorm statistics still run in f32
+    inside the layers). Leaves None placeholders untouched."""
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda v: v.astype(jnp.bfloat16)
+        if v is not None and v.dtype == jnp.float32 else v,
+        frozen, is_leaf=lambda v: v is None)
+
+
 def trainable_predicate(method: str) -> Callable[[str], bool]:
     """Standard finetune-method partitions (finetune.py:123-128)."""
     if method == "mona":
