@@ -35,6 +35,7 @@ class BertConfig:
     embed_dim: int = 512          # CLIP-space projection dim
     ln_eps: float = 1e-12
     pad_id: int = 0
+    mlp_impl: str = "auto"   # 'xla' required when BERT MLP weights train
 
 
 def bert_init(rng, cfg: BertConfig):
@@ -84,13 +85,14 @@ def bert_apply(p, cfg: BertConfig, token_ids, *, attention_mask=None, dtype=None
     # additive key-padding bias [B, L]: 0 where attended, -1e9 where padded
     pad_bias = (1.0 - attention_mask) * -1e9
 
+    from .vit import run_mlp
+
     for layer in p["layers"]:
         # post-norm residual blocks (HF BERT layout)
         a = mha(layer["attn"], x, num_heads=cfg.heads, key_padding_bias=pad_bias,
                 dtype=dtype)
         x = layernorm(layer["attn_ln"], x + a, eps=cfg.ln_eps)
-        h = linear(layer["ffn"]["fc1"], x, dtype=dtype)
-        h = linear(layer["ffn"]["fc2"], gelu(h), dtype=dtype)
+        h = run_mlp(layer["ffn"], x, "gelu", cfg.mlp_impl, dtype=dtype)
         x = layernorm(layer["ffn_ln"], x + h, eps=cfg.ln_eps)
 
     pooled = x[:, 0, :]  # CLS last-hidden-state pooling

@@ -29,12 +29,13 @@ class TextConfig:
     embed_dim: int = 512
     act: str = "quick_gelu"
     ln_eps: float = 1e-5
+    mlp_impl: str = "auto"   # 'xla' required when text MLP weights train
 
 
 def _as_vit_cfg(cfg: TextConfig) -> ViTConfig:
     # Text blocks share the pre-norm block implementation with the ViT.
     return ViTConfig(width=cfg.width, heads=cfg.heads, depth=cfg.depth,
-                     act=cfg.act, ln_eps=cfg.ln_eps)
+                     act=cfg.act, ln_eps=cfg.ln_eps, mlp_impl=cfg.mlp_impl)
 
 
 def text_init(rng, cfg: TextConfig):
@@ -64,11 +65,10 @@ def text_apply(p, cfg: TextConfig, token_ids, *, dtype=None):
 
 def _text_block(p, x, cfg: ViTConfig, *, dtype=None):
     from ..nn.attention import mha
-    from ..nn.layers import ACTIVATIONS
+    from .vit import run_mlp
 
-    act = ACTIVATIONS[cfg.act]
     x = x + mha(p["attn"], layernorm(p["ln1"], x, eps=cfg.ln_eps),
                 num_heads=cfg.heads, causal=True, dtype=dtype)
-    h = linear(p["mlp"]["fc1"], layernorm(p["ln2"], x, eps=cfg.ln_eps), dtype=dtype)
-    x = x + linear(p["mlp"]["fc2"], act(h), dtype=dtype)
+    x = x + run_mlp(p["mlp"], layernorm(p["ln2"], x, eps=cfg.ln_eps),
+                    cfg.act, cfg.mlp_impl, dtype=dtype)
     return x

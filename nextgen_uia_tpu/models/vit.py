@@ -20,9 +20,18 @@ permute dance, mona.py:38-67, is a torch layout artefact with no TPU analogue).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
+
+
+def _call_remat(fn, blk, x, cfg, *, dtype=None, rng=None):
+    return fn(blk, x, cfg, dtype, rng)
+
+
+def _call_remat_pad(fn, blk, x, cfg, *, dtype=None, rng=None, key_bias=None, n_real=None):
+    return fn(blk, x, cfg, dtype, rng, key_bias, n_real)
 
 from ..adapters.mona import mona_apply
 from ..nn.attention import attention_init, mha
@@ -48,6 +57,19 @@ class ViTConfig:
     # adapter config (static; params decide presence per block)
     mona_variant: str = "hybrid"
     lora_alpha: float = 32.0
+    # rematerialize each block in backward. On bandwidth-starved parts this
+    # is a large WIN: recompute (cheap, MXU underutilized) replaces HBM
+    # round-trips of per-block activations (scarce at ~89 GB/s on this chip).
+    remat: bool = False
+    # MLP execution: 'auto' = fused Pallas kernel on TPU (frozen weights —
+    # adapter finetuning), 'xla' = plain ops (required for full fine-tuning,
+    # where MLP weight grads are needed; see ops/fused_mlp.py)
+    mlp_impl: str = "auto"
+    # pad the token sequence once at embed time to a multiple of this (197 ->
+    # 200), masking padded keys via attention bias. Kills the per-layer pad
+    # copies the flash kernel would otherwise need and aligns row counts for
+    # the fused MLP tiles. 1 disables.
+    token_pad: int = 8
 
     @property
     def grid(self) -> int:
@@ -89,17 +111,36 @@ def _block_init(rng, cfg: ViTConfig):
     }
 
 
-def block_apply(p, x, cfg: ViTConfig, *, dtype=None, rng=None):
+def run_mlp(mlp_p, h_in, act: str, impl: str, *, dtype=None):
+    """fc1 -> act -> fc2, via the fused Pallas kernel when eligible."""
+    use_fused = (impl == "fused" or (impl == "auto" and jax.default_backend() == "tpu"))
+    if use_fused:
+        from ..ops.fused_mlp import fused_mlp
+
+        x = h_in if dtype is None else h_in.astype(dtype)
+        return fused_mlp(x, mlp_p["fc1"]["w"], mlp_p["fc1"]["b"],
+                         mlp_p["fc2"]["w"], mlp_p["fc2"]["b"], act=act)
+    act_fn = ACTIVATIONS[act]
+    h = linear(mlp_p["fc1"], h_in, dtype=dtype)
+    return linear(mlp_p["fc2"], act_fn(h), dtype=dtype)
+
+
+def block_apply(p, x, cfg: ViTConfig, *, dtype=None, rng=None,
+                key_bias=None, n_real: int | None = None):
     """Pre-norm transformer block; MONA slot applied after the residual MLP
-    (matching the reference's post-block injection, mona.py:667-676)."""
-    act = ACTIVATIONS[cfg.act]
+    (matching the reference's post-block injection, mona.py:667-676).
+
+    key_bias/n_real support once-padded token sequences: padded keys are
+    masked in attention, and MONA operates on the real prefix only.
+    """
     a = mha(p["attn"], layernorm(p["ln1"], x, eps=cfg.ln_eps),
-            num_heads=cfg.heads, dtype=dtype, lora_alpha=cfg.lora_alpha)
+            num_heads=cfg.heads, dtype=dtype, lora_alpha=cfg.lora_alpha,
+            key_padding_bias=key_bias)
     if "ls1" in p:  # DINOv2 LayerScale (dino/layers/layer_scale.py)
         a = a * p["ls1"].astype(a.dtype)
     x = x + a
-    h = linear(p["mlp"]["fc1"], layernorm(p["ln2"], x, eps=cfg.ln_eps), dtype=dtype)
-    m = linear(p["mlp"]["fc2"], act(h), dtype=dtype)
+    m = run_mlp(p["mlp"], layernorm(p["ln2"], x, eps=cfg.ln_eps), cfg.act,
+                cfg.mlp_impl, dtype=dtype)
     if "ls2" in p:
         m = m * p["ls2"].astype(m.dtype)
     x = x + m
@@ -107,8 +148,13 @@ def block_apply(p, x, cfg: ViTConfig, *, dtype=None, rng=None):
         mona_rng = None
         if rng is not None:
             rng, mona_rng = jax.random.split(rng)
-        x = mona_apply(p["mona"], x, (cfg.grid, cfg.grid),
-                       variant=cfg.mona_variant, rng=mona_rng)
+        if n_real is not None and n_real != x.shape[1]:
+            real = mona_apply(p["mona"], x[:, :n_real], (cfg.grid, cfg.grid),
+                              variant=cfg.mona_variant, rng=mona_rng)
+            x = jnp.concatenate([real, x[:, n_real:]], axis=1)
+        else:
+            x = mona_apply(p["mona"], x, (cfg.grid, cfg.grid),
+                           variant=cfg.mona_variant, rng=mona_rng)
     return x
 
 
@@ -140,14 +186,30 @@ def vit_apply(p, cfg: ViTConfig, images, *, dtype=None, rng=None, extract_layers
     ``extract_layers`` (the pyramid head's taps {3,6,9} — clip_adapter.py:104-107).
     """
     x = embed_patches(p, cfg, images, dtype=dtype)
+    n_real = x.shape[1]
+    key_bias = None
+    if cfg.token_pad > 1 and n_real % cfg.token_pad:
+        n_pad = ((n_real + cfg.token_pad - 1) // cfg.token_pad) * cfg.token_pad
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n_real), (0, 0)))
+        key_bias = jnp.full((x.shape[0], n_pad), 0.0, jnp.float32)
+        key_bias = key_bias.at[:, n_real:].set(-1e9)
     activations = []
+    run_block = block_apply
+    if cfg.remat:
+        run_block = jax.checkpoint(
+            lambda blk, x, cfg, dtype, rng, key_bias, n_real: block_apply(
+                blk, x, cfg, dtype=dtype, rng=rng, key_bias=key_bias, n_real=n_real),
+            static_argnums=(2, 3, 6))
+        run_block = functools.partial(_call_remat_pad, run_block)
     for i, blk in enumerate(p["blocks"]):
         blk_rng = None
         if rng is not None:
             rng, blk_rng = jax.random.split(rng)
-        x = block_apply(blk, x, cfg, dtype=dtype, rng=blk_rng)
+        x = run_block(blk, x, cfg, dtype=dtype, rng=blk_rng,
+                      key_bias=key_bias, n_real=n_real)
         if i in extract_layers:
-            activations.append(x)
+            activations.append(x[:, :n_real])
+    x = x[:, :n_real]
 
     if cfg.final_norm == "all":
         x = layernorm(p["norm"], x, eps=cfg.ln_eps)

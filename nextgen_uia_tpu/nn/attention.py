@@ -64,6 +64,46 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
         r = next(iter(lora.values()))["a"].shape[1]
         lora_scale = (lora_alpha if lora_alpha is not None else 1.0) / math.sqrt(r)
 
+    use_flash = (impl == "flash" or
+                 (impl == "auto" and mask is None and jax.default_backend() == "tpu"))
+    if use_flash and mask is None:
+        # head-major projection straight from the einsum: XLA fuses the
+        # layout permutation into the matmul output, so the flash kernel
+        # consumes [B, H, N, D] without explicit transpose copies in HBM.
+        from ..ops.flash_attention import flash_attention
+
+        def proj_bhnd(name):
+            w = p[name]["w"]
+            if dtype is not None:
+                w = w.astype(dtype)
+            wh = w.reshape(d, num_heads, head_dim)
+            xx = x if dtype is None else x.astype(dtype)
+            y = jnp.einsum("bnd,dhe->bhne", xx, wh)
+            if "b" in p[name]:
+                y = y + p[name]["b"].astype(y.dtype).reshape(num_heads, head_dim)[None, :, None, :]
+            if lora is not None and name in lora:
+                la = lora[name]
+                delta = (xx @ la["a"].astype(y.dtype)) @ la["b"].astype(y.dtype)
+                y = y + (delta * lora_scale).reshape(b, n, num_heads, head_dim).transpose(0, 2, 1, 3)
+            return y
+
+        q, k, v = proj_bhnd("q"), proj_bhnd("k"), proj_bhnd("v")
+        out = flash_attention(q, k, v, bias=key_padding_bias, causal=causal,
+                              layout="bhnd")
+        # fused output projection from head-major layout
+        wo = p["o"]["w"]
+        if dtype is not None:
+            wo = wo.astype(dtype)
+        out_flat = jnp.einsum("bhne,hed->bnd", out, wo.reshape(num_heads, head_dim, d))
+        if "b" in p["o"]:
+            out_flat = out_flat + p["o"]["b"].astype(out_flat.dtype)
+        if lora is not None and "o" in lora:
+            xo = jnp.einsum("bhne->bnhe", out).reshape(b, n, d)
+            la = lora["o"]
+            out_flat = out_flat + ((xo @ la["a"].astype(xo.dtype))
+                                   @ la["b"].astype(xo.dtype)) * lora_scale
+        return out_flat
+
     q = _proj_with_lora(p, lora, "q", x, dtype=dtype, lora_scale=lora_scale)
     k = _proj_with_lora(p, lora, "k", x, dtype=dtype, lora_scale=lora_scale)
     v = _proj_with_lora(p, lora, "v", x, dtype=dtype, lora_scale=lora_scale)
@@ -72,25 +112,18 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
     k = k.reshape(b, n, num_heads, head_dim)
     v = v.reshape(b, n, num_heads, head_dim)
 
-    use_flash = (impl == "flash" or
-                 (impl == "auto" and mask is None and jax.default_backend() == "tpu"))
-    if use_flash and mask is None:
-        from ..ops.flash_attention import flash_attention
-
-        out = flash_attention(q, k, v, bias=key_padding_bias, causal=causal)
-    else:
-        scale = 1.0 / math.sqrt(head_dim)
-        # [B, H, N, N] logits in f32 for numerical stability of the softmax
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        if mask is not None:
-            logits = logits + mask
-        if key_padding_bias is not None:
-            logits = logits + key_padding_bias[:, None, None, :]
-        if causal:
-            logits = logits + causal_mask(n)
-        weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+    scale = 1.0 / math.sqrt(head_dim)
+    # [B, H, N, N] logits in f32 for numerical stability of the softmax
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = logits + mask
+    if key_padding_bias is not None:
+        logits = logits + key_padding_bias[:, None, None, :]
+    if causal:
+        logits = logits + causal_mask(n)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
     out = out.reshape(b, n, d)
     return _proj_with_lora(p, lora, "o", out, dtype=dtype, lora_scale=lora_scale)
 

@@ -161,17 +161,26 @@ def _should_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def flash_attention(q, k, v, *, bias=None, causal: bool = False):
-    """q, k, v: [B, N, H, D]; bias: optional additive [B, N] (key padding).
+def flash_attention(q, k, v, *, bias=None, causal: bool = False,
+                    layout: str = "bnhd"):
+    """Attention with scores kept in VMEM.
 
-    Returns [B, N, H, D]. Scores/softmax in f32; output in q.dtype.
+    layout 'bnhd': q,k,v [B, N, H, D] (transposed internally).
+    layout 'bhnd': q,k,v [B, H, N, D] — preferred; lets the caller produce the
+      head-major layout directly from the projection einsum so no explicit
+      transpose copies hit HBM. Output matches the input layout.
+    bias: optional additive [B, N] (key padding).
     """
-    b, nq, h, d = q.shape
+    if layout == "bnhd":
+        b, nq, h, d = q.shape
+    else:
+        b, h, nq, d = q.shape
     np_ = _pad_len(nq, q.dtype)
     pad = np_ - nq
 
     def prep(x):
-        x = jnp.moveaxis(x, 2, 1)  # [B, H, N, D]
+        if layout == "bnhd":
+            x = jnp.moveaxis(x, 2, 1)  # [B, H, N, D]
         if pad:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
         return x
@@ -181,4 +190,7 @@ def flash_attention(q, k, v, *, bias=None, causal: bool = False):
         bias_f = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, pad)))
         bias_f = jnp.broadcast_to(bias_f[:, None, :], (b, 8, np_))
     out = _flash(prep(q), prep(k), prep(v), bias_f, causal, nq)
-    return jnp.moveaxis(out[:, :, :nq, :], 1, 2)
+    out = out[:, :, :nq, :]
+    if layout == "bnhd":
+        out = jnp.moveaxis(out, 1, 2)
+    return out

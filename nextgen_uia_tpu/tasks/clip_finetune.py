@@ -92,6 +92,13 @@ def finetune_main(family: str, argv=None):
 
     adapter = args.method if args.method in ("mona", "lora") else None
     cfg, params = build_clip_model(args, family, adapter=adapter, rng=rng)
+    if args.method == "full":
+        # full FT trains MLP weights -> fused frozen-MLP kernel is ineligible
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, vision=_dc.replace(cfg.vision, mlp_impl="xla"))
+        if hasattr(cfg.text, "mlp_impl"):
+            cfg = _dc.replace(cfg, text=_dc.replace(cfg.text, mlp_impl="xla"))
     tokenizer = get_text_tokenizer(args, family)
 
     if args.method == "mona":

@@ -64,6 +64,39 @@ def test_flash_backward_matches():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
 
 
+def test_mha_flash_impl_matches_einsum():
+    """The full mha() flash path (head-major einsum projections + kernel +
+    fused o-proj) against the einsum path, values and grads, incl. LoRA."""
+    from nextgen_uia_tpu.nn.attention import attention_init, mha
+    from nextgen_uia_tpu.adapters.lora import lora_pair_init
+
+    d, heads, n, b = 64, 4, 33, 2
+    p = attention_init(jax.random.key(0), d)
+    p["lora"] = {"q": lora_pair_init(jax.random.key(1), d, d, 4),
+                 "o": lora_pair_init(jax.random.key(2), d, d, 4)}
+    p["lora"]["q"]["b"] = jax.random.normal(jax.random.key(3), (4, d)) * 0.1
+    p["lora"]["o"]["b"] = jax.random.normal(jax.random.key(4), (4, d)) * 0.1
+    x = jax.random.normal(jax.random.key(5), (b, n, d))
+
+    out_e = mha(p, x, num_heads=heads, impl="einsum", lora_alpha=8.0)
+    out_f = mha(p, x, num_heads=heads, impl="flash", lora_alpha=8.0)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
+                               atol=2e-5, rtol=2e-5)
+
+    ge = jax.grad(lambda x: jnp.sum(mha(p, x, num_heads=heads, impl="einsum",
+                                        lora_alpha=8.0) ** 2))(x)
+    gf = jax.grad(lambda x: jnp.sum(mha(p, x, num_heads=heads, impl="flash",
+                                        lora_alpha=8.0) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(ge), atol=1e-4, rtol=1e-4)
+
+    # causal + padding-bias flash paths through mha
+    bias = jnp.where(jax.random.bernoulli(jax.random.key(6), 0.8, (b, n)), 0.0, -1e9)
+    for kw in ({"causal": True}, {"key_padding_bias": bias}):
+        oe = mha(p, x, num_heads=heads, impl="einsum", lora_alpha=8.0, **kw)
+        of = mha(p, x, num_heads=heads, impl="flash", lora_alpha=8.0, **kw)
+        np.testing.assert_allclose(np.asarray(of), np.asarray(oe), atol=2e-5, rtol=2e-5)
+
+
 def test_flash_backward_causal_bias():
     b, n, h, d = 2, 20, 2, 64
     ks = jax.random.split(jax.random.key(2), 4)
