@@ -66,6 +66,17 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
 
     use_flash = (impl == "flash" or
                  (impl == "auto" and mask is None and jax.default_backend() == "tpu"))
+    if impl == "fused_block" and mask is None and lora is None:
+        # fully fused qkv+attn+o kernel (ops/fused_attention.py). Measured
+        # SLOWER than einsum-projections + flash on v5e (thin per-head
+        # matmuls underutilize the MXU) — kept opt-in, not 'auto'.
+        from ..ops.fused_attention import fused_attn_block
+
+        xx = x if dtype is None else x.astype(dtype)
+        out = fused_attn_block(xx, p, heads=num_heads,
+                               bias=key_padding_bias, causal=causal)
+        if out is not None:
+            return out
     if use_flash and mask is None:
         # head-major projection straight from the einsum: XLA fuses the
         # layout permutation into the matmul output, so the flash kernel

@@ -95,7 +95,9 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, g_ref, dx_ref, *, act, n_hc, hc_s
 
 
 def _tiles(m: int, hidden: int):
-    tm = 256
+    # tm capped at 128: resident w1+w2 (~9.4 MB at ViT-B) plus per-tile
+    # transients must stay under the 16 MB VMEM scoped limit in backward
+    tm = 128
     while m % tm != 0:
         tm //= 2
         if tm < 8:
