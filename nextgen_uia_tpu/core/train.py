@@ -123,6 +123,84 @@ def make_train_step(loss_fn: Callable[..., Any], optimizer, cfg: TrainConfig,
     return jax.jit(step, donate_argnums=donate_args)
 
 
+def make_sharded_train_step(loss_fn, optimizer, cfg: TrainConfig, mesh,
+                            *, donate: bool = True, has_aux: bool = False):
+    """Data-parallel train step via shard_map over the mesh's 'data' axis.
+
+    Inside shard_map every device runs the per-shard program on LOCAL shapes —
+    this is what makes the Pallas kernels (flash attention, fused MLP)
+    multi-chip safe: a plain jit would hand them globally-sharded operands
+    that custom calls can't partition. Gradients/losses are psum-averaged
+    over 'data'; params/opt state are replicated.
+
+    Batch leaves must be [accum, global_batch, ...], sharded on axis 1.
+
+    Note on contrastive losses: loss_fn sees the LOCAL shard, so InfoNCE
+    negatives are shard-local — identical semantics to the reference's
+    single-device batches when per-chip batch == the reference batch size.
+    For global negatives, all_gather features inside loss_fn over 'data'.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=has_aux)
+
+    def local_grads(params, frozen, batch, rng):
+        # decorrelate per-shard randomness (dropout, augmentation)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+
+        def micro(carry, xs):
+            grads_acc, loss_acc, count = carry
+            mb, mb_rng = xs
+            if has_aux:
+                (loss, _), grads = grad_fn(params, frozen, mb, mb_rng)
+            else:
+                loss, grads = grad_fn(params, frozen, mb, mb_rng)
+            ok = jnp.isfinite(loss)
+            grads = jax.tree_util.tree_map(
+                lambda g, a: a + jnp.where(ok, g, 0.0), grads, grads_acc)
+            return (grads, loss_acc + jnp.where(ok, loss, 0.0), count + ok), None
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+        rngs = jax.random.split(rng, cfg.accum_steps)
+        (grads, loss_sum, n_ok), _ = jax.lax.scan(
+            micro, (zero, 0.0, jnp.zeros((), jnp.int32)), (batch, rngs))
+        # average over microbatches locally, then over the data axis
+        denom = jnp.maximum(n_ok, 1).astype(jnp.float32)
+        grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
+        grads = jax.lax.pmean(grads, "data")
+        loss = jax.lax.pmean(loss_sum / denom, "data")
+        skipped = jax.lax.pmax(cfg.accum_steps - n_ok, "data")
+        return grads, loss, skipped
+
+    rep = P()
+    batch_spec = P(None, "data")
+
+    def step(state, frozen, batch, rng):
+        specs_batch = jax.tree_util.tree_map(lambda _: batch_spec, batch)
+        sharded = shard_map(
+            local_grads, mesh=mesh,
+            in_specs=(jax.tree_util.tree_map(lambda _: rep, state["params"]),
+                      jax.tree_util.tree_map(lambda _: rep, frozen),
+                      specs_batch, rep),
+            out_specs=(jax.tree_util.tree_map(lambda _: rep, state["params"]),
+                       rep, rep),
+            check_rep=False)
+        grads, loss, skipped = sharded(state["params"], frozen, batch, rng)
+
+        gnorm = optax.global_norm(grads)
+        if cfg.grad_clip > 0:
+            scale = jnp.minimum(1.0, cfg.grad_clip / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        updates, new_opt = optimizer.update(grads, state["opt"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        new_state = {"params": new_params, "opt": new_opt, "step": state["step"] + 1}
+        return new_state, {"loss": loss, "grad_norm": gnorm, "skipped": skipped}
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)
+
+
 def stack_microbatches(batch: dict, accum_steps: int):
     """Reshape batch leaves [B, ...] -> [accum, B//accum, ...]."""
     def r(x):

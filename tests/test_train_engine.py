@@ -103,6 +103,31 @@ def test_mesh_sharded_data_parallel_step():
                                np.asarray(ref_state["params"]["w"]), rtol=1e-5)
 
 
+def test_sharded_train_step_matches_plain():
+    """shard_map DP step (the Pallas-safe multi-chip path) == plain jit step."""
+    mesh = make_mesh(8, 1)
+    cfg = T.TrainConfig(lr=0.1, accum_steps=2, total_updates=10)
+    opt, _ = T.make_optimizer(cfg)
+    params = {"w": jnp.zeros((4, 1))}
+    x = jax.random.normal(jax.random.key(0), (2, 16, 4))
+    y = x @ jnp.array([[1.0], [2.0], [3.0], [4.0]])
+    batch = {"x": x, "y": y}
+
+    def loss_fn(p, f, b, r):
+        return jnp.mean((b["x"] @ p["w"] - b["y"]) ** 2)
+
+    plain = T.make_train_step(loss_fn, opt, cfg, donate=False)
+    s1, m1 = plain(T.init_state(params, opt), {}, batch, jax.random.key(1))
+
+    sharded = T.make_sharded_train_step(loss_fn, opt, cfg, mesh, donate=False)
+    sb = {k: jax.device_put(v, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "data"))) for k, v in batch.items()}
+    s2, m2 = sharded(T.init_state(params, opt), {}, sb, jax.random.key(1))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1["params"]["w"]),
+                               np.asarray(s2["params"]["w"]), rtol=1e-5)
+
+
 def test_param_spec_policy():
     assert param_spec("visual/blocks/0/mlp/fc1/w", (768, 3072), model_axis_size=2) == \
         jax.sharding.PartitionSpec(None, "model")
