@@ -139,11 +139,24 @@ def block_apply(p, x, cfg: ViTConfig, *, dtype=None, rng=None,
     if "ls1" in p:  # DINOv2 LayerScale (dino/layers/layer_scale.py)
         a = a * p["ls1"].astype(a.dtype)
     x = x + a
-    m = run_mlp(p["mlp"], layernorm(p["ln2"], x, eps=cfg.ln_eps), cfg.act,
-                cfg.mlp_impl, dtype=dtype)
-    if "ls2" in p:
-        m = m * p["ls2"].astype(m.dtype)
-    x = x + m
+    use_fused_ln_mlp = (cfg.mlp_impl == "auto" and "ls2" not in p
+                        and jax.default_backend() == "tpu")
+    if use_fused_ln_mlp:
+        from ..ops.fused_ln_mlp import fused_ln_mlp_residual
+
+        xx = x if dtype is None else x.astype(dtype)
+        fused = fused_ln_mlp_residual(xx, p["ln2"], p["mlp"], act=cfg.act,
+                                      eps=cfg.ln_eps)
+        if fused is not None:
+            x = fused
+        else:
+            use_fused_ln_mlp = False
+    if not use_fused_ln_mlp:
+        m = run_mlp(p["mlp"], layernorm(p["ln2"], x, eps=cfg.ln_eps), cfg.act,
+                    cfg.mlp_impl, dtype=dtype)
+        if "ls2" in p:
+            m = m * p["ls2"].astype(m.dtype)
+        x = x + m
     if "mona" in p:
         mona_rng = None
         if rng is not None:
