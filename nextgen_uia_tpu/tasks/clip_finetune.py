@@ -55,6 +55,11 @@ def _finetune_parser(family: str):
     p.add_argument("--resume", default=False, action="store_true",
                    help="Resume from runs/<exp>/last_state.npz (full train state; "
                         "new capability — the reference has no mid-run resume)")
+    p.add_argument("--chain_zero_shot", type=str, nargs="*", default=None,
+                   help="Datasets to zero-shot-evaluate with the trained adapter "
+                        "after finetuning (the reference chains zero_shot via "
+                        "subprocess — src/models/clip/finetune.py:241-295; here "
+                        "it runs in-process)")
     return p
 
 
@@ -227,6 +232,27 @@ def finetune_main(family: str, argv=None):
     writer.close()
     logging.info(f"Training completed. Best val loss {stopper.best:.4f} "
                  f"at epoch {stopper.best_step + 1}")
+
+    if args.chain_zero_shot:
+        from .clip_tasks import zero_shot_main
+
+        weight_flag = {"mona": "--mona_weights", "lora": "--lora_weights",
+                       "full": "--backbone_ckpt"}[args.method]
+        for ds in args.chain_zero_shot:
+            logging.info(f"Chaining zero-shot evaluation on {ds}")
+            zs_argv = ["--exp", f"{args.exp}_zero_shot", "--dataset", ds,
+                       "--data_root", args.data_root,
+                       "--img_size", str(args.img_size),
+                       "--seed", str(args.seed),
+                       weight_flag, best_path]
+            if args.method == "mona":
+                zs_argv += ["--mona_variant", args.mona_variant]
+            if args.backbone_ckpt and args.method != "full":
+                zs_argv += ["--backbone_ckpt", args.backbone_ckpt]
+            if getattr(args, "debug_tiny", False):
+                zs_argv += ["--debug_tiny"]
+            zero_shot_main(family, zs_argv)
+
     return {"best_val_loss": stopper.best, "best_epoch": stopper.best_step}
 
 
