@@ -157,8 +157,18 @@ def build_clip_model(args, family: str, *, adapter: str | None = None, rng=None)
 
 
 def get_text_tokenizer(args, family: str):
-    """Tokenizer per family: BiomedCLIP -> HF PubMedBERT (when cached) with a
-    loud ClipTokenizer fallback offline; others -> CLIP BPE (ctx 77)."""
+    """Tokenizer per family: BiomedCLIP -> HF PubMedBERT (ctx 256);
+    UniMedCLIP -> HF BiomedBERT at ctx 77 (unimedclip/finetune.py:108);
+    others -> CLIP BPE (ctx 77). HF tokenizers need local cache; loud
+    fallbacks keep everything runnable offline."""
+    if family == "unimedclip":
+        tok = load_hf_tokenizer(
+            "microsoft/BiomedNLP-BiomedBERT-base-uncased-abstract",
+            context_length=77)
+        if tok is not None:
+            return tok
+        logging.warning("UniMedCLIP BiomedBERT tokenizer unavailable offline; "
+                        "falling back to CLIP BPE (ctx 77).")
     if family == "biomedclip":
         tok = load_hf_tokenizer(BIOMEDCLIP_HF, context_length=256)
         if tok is not None:
