@@ -77,6 +77,17 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
                                bias=key_padding_bias, causal=causal)
         if out is not None:
             return out
+    if impl == "hybrid_block" and mask is None and lora is None:
+        # einsum+flash forward with an all-in-one fused backward (dx direct).
+        # Measured slower than letting XLA back-project dq/dk/dv on v5e
+        # (thin per-head matmuls in the bwd kernel) — opt-in only.
+        from ..ops.fused_attention import hybrid_attn_block
+
+        xx = x if dtype is None else x.astype(dtype)
+        out = hybrid_attn_block(xx, p, heads=num_heads,
+                                bias=key_padding_bias, causal=causal)
+        if out is not None:
+            return out
     if use_flash and mask is None:
         # head-major projection straight from the einsum: XLA fuses the
         # layout permutation into the matmul output, so the flash kernel

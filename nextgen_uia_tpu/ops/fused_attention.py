@@ -207,6 +207,60 @@ def _bwd_rule(heads, causal, res, g):
 _fused_attn.defvjp(_fwd_rule, _bwd_rule)
 
 
+def _xla_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, bias, heads, causal):
+    """Fast forward: head-major einsum projections + flash kernel + einsum
+    o-projection (the measured-fastest forward decomposition)."""
+    from .flash_attention import flash_attention
+
+    b, n, d = x.shape
+    dh = d // heads
+
+    def proj(w, bvec):
+        y = jnp.einsum("bnd,dhe->bhne", x, w.reshape(d, heads, dh))
+        return y + bvec.astype(y.dtype).reshape(heads, dh)[None, :, None, :]
+
+    q, k, v = proj(wq, bq), proj(wk, bk), proj(wv, bv)
+    out = flash_attention(q, k, v, bias=bias, causal=causal, layout="bhnd")
+    o = jnp.einsum("bhne,hed->bnd", out, wo.reshape(heads, dh, d))
+    return o + bo.astype(o.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def _hybrid_attn(x, wq, bq, wk, bk, wv, bv, wo, bo, bias, heads, causal):
+    """XLA-decomposed forward + all-in-one fused backward (dx direct)."""
+    return _xla_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, bias, heads, causal)
+
+
+def _hybrid_fwd_rule(x, wq, bq, wk, bk, wv, bv, wo, bo, bias, heads, causal):
+    out = _xla_fwd(x, wq, bq, wk, bk, wv, bv, wo, bo, bias, heads, causal)
+    return out, (x, wq, bq, wk, bk, wv, bv, wo, bo, bias)
+
+
+_hybrid_attn.defvjp(_hybrid_fwd_rule, _bwd_rule)
+
+
+def hybrid_attn_block(x, attn_params, *, heads: int, bias=None, causal: bool = False):
+    """Fast-forward / fused-backward attention block (frozen weights).
+
+    Forward is the einsum+flash decomposition; backward is one Pallas kernel
+    computing dx straight through the frozen projections — dq/dk/dv never
+    round-trip HBM. Returns None when ineligible (batch % 8)."""
+    if _chunk(x.shape[0]) is None:
+        return None
+    d = x.shape[-1]
+
+    def wb(name):
+        w = attn_params[name]["w"].astype(x.dtype)
+        b = attn_params[name].get("b")
+        return w, (b.astype(jnp.float32) if b is not None else jnp.zeros((d,), jnp.float32))
+
+    wq, bq = wb("q")
+    wk, bk = wb("k")
+    wv, bv = wb("v")
+    wo, bo = wb("o")
+    return _hybrid_attn(x, wq, bq, wk, bk, wv, bv, wo, bo, bias, heads, causal)
+
+
 def fused_attn_block(x, attn_params, *, heads: int, bias=None, causal: bool = False):
     """x [B, N, D] (already normed) -> o-projected attention output [B, N, D].
 

@@ -41,6 +41,30 @@ def test_fused_block_backward_dx():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_hybrid_block_matches_einsum_fwd_and_bwd():
+    from nextgen_uia_tpu.ops.fused_attention import hybrid_attn_block
+
+    b, n, d, heads = 8, 24, 128, 4
+    p = attention_init(jax.random.key(5), d)
+    x = jax.random.normal(jax.random.key(6), (b, n, d)) * 0.5
+    keep = jax.random.bernoulli(jax.random.key(7), 0.8, (b, n))
+    bias = jnp.where(keep, 0.0, -1e9).astype(jnp.float32)
+
+    for kw in ({}, {"causal": True}, {"bias": bias}):
+        ref_kw = {"causal": kw.get("causal", False),
+                  "key_padding_bias": kw.get("bias")}
+        ref = mha(p, x, num_heads=heads, impl="einsum", **ref_kw)
+        out = hybrid_attn_block(x, p, heads=heads, **kw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+        g_ref = jax.grad(lambda x: jnp.sum(
+            mha(p, x, num_heads=heads, impl="einsum", **ref_kw) ** 2))(x)
+        g_hyb = jax.grad(lambda x: jnp.sum(
+            hybrid_attn_block(x, p, heads=heads, **kw) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g_hyb), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_fused_block_ineligible_batch_returns_none():
     p = attention_init(jax.random.key(0), 128)
     x = jnp.ones((3, 16, 128))
