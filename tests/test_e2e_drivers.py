@@ -49,6 +49,29 @@ def test_zero_shot_e2e(synth):
     assert "results.csv" in files and any(f.endswith(".png") for f in files)
 
 
+def test_training_learns(synth):
+    """Learning sanity: UNet on the synthetic bright-square masks must drive
+    the train loss down substantially within a few epochs."""
+    import glob
+
+    from nextgen_uia_tpu.tasks.baselines.segmentation import main
+
+    main(COMMON[:8] + ["--epochs", "8", "--val_interval", "4",
+                       "--data_root", synth, "--exp", "learn",
+                       "--init_channels", "4", "--lr", "3e-3",
+                       "--num_workers", "2", "--patience", "10"])
+    # setup_logging owns the handlers; read the archived run log instead
+    logs = glob.glob("runs/learn/BUSI/train/**/log.log", recursive=True)
+    assert logs, "run log missing"
+    losses = []
+    for line in open(sorted(logs)[-1]):
+        if "Epoch" in line and "loss=" in line:
+            losses.append(float(line.split("loss=")[1].split()[0]))
+    assert len(losses) >= 2, f"expected multiple epoch logs, got {losses}"
+    # tiny 4-sample train set: dice+ce moves slowly — require a clear decrease
+    assert losses[-1] < losses[0] * 0.97, f"loss did not decrease: {losses}"
+
+
 def test_fewshot_classification_e2e(synth):
     from nextgen_uia_tpu.tasks.baselines.fewshot_classification import main
 
