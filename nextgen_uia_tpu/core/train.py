@@ -140,7 +140,7 @@ def make_sharded_train_step(loss_fn, optimizer, cfg: TrainConfig, mesh,
     single-device batches when per-chip batch == the reference batch size.
     For global negatives, all_gather features inside loss_fn over 'data'.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=has_aux)

@@ -21,8 +21,6 @@ Heads (dinov2.py):
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 

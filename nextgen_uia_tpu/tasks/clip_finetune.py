@@ -35,7 +35,7 @@ from ..data import pipeline as P
 from ..losses import info_nce
 from ..models import clip as clip_mod
 from .common import (base_parser, build_clip_model, get_text_tokenizer,
-                     resolve_mona_variant, seed_everything, setup_run)
+                     seed_everything, setup_run)
 
 
 def _finetune_parser(family: str):

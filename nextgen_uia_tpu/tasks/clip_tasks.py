@@ -20,7 +20,6 @@ Reference semantics preserved per task:
 
 from __future__ import annotations
 
-import functools
 import logging
 import os
 
@@ -31,16 +30,16 @@ import numpy as np
 from ..core import checkpoint as ckpt
 from ..core import train as T
 from ..core.experiment import (archive_log, backup_folder, model_summary,
-                               save_results_csv, setup_logging, TBWriter)
-from ..core.partition import by_keywords, merge, partition
+                               save_results_csv)
+from ..core.partition import by_keywords
 from ..data import datasets as D
 from ..data import pipeline as P
 from ..data.augment import augment_batch
-from ..losses import cross_entropy, dice_ce_loss, focal_loss
-from ..metrics.segmentation import ClsAccumulator, SegAccumulator, one_hot_argmax
+from ..losses import cross_entropy
+from ..metrics.segmentation import ClsAccumulator
 from ..models import clip as clip_mod
 from ..models.heads import PyramidHeadConfig, pyramid_head_apply, pyramid_head_init
-from ..utils.viz import plot_roc, visualize_seg
+from ..utils.viz import plot_roc
 from . import prompts as PR
 from .common import (base_parser, build_clip_model, get_text_tokenizer,
                      seed_everything, setup_run)

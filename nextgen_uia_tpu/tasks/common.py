@@ -20,14 +20,12 @@ import os
 import random
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..adapters.lora import inject_lora
 from ..adapters.mona import inject_mona
 from ..core import checkpoint as ckpt
 from ..core.experiment import setup_logging
-from ..core.partition import by_keywords
 from ..data.tokenizer import ClipTokenizer, load_hf_tokenizer
 from ..models import clip as clip_mod
 
