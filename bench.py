@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 A100_EST_IMG_S = 600.0
 BATCH = 64
-STEPS = 20
+STEPS = 30
 WARMUP = 3
 
 

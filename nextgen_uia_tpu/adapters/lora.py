@@ -23,7 +23,9 @@ import jax.numpy as jnp
 
 
 def lora_pair_init(rng, in_dim: int, out_dim: int, r: int):
-    bound = math.sqrt(3.0) / math.sqrt(in_dim)  # kaiming_uniform(a=sqrt(5)) on [r, in]
+    # torch kaiming_uniform_(a=sqrt(5)) on A [r, in]: bound = 1/sqrt(fan_in)
+    # (gain 1/sqrt(3) cancels the uniform sqrt(3)) — lora.py:39-44
+    bound = 1.0 / math.sqrt(in_dim)
     a = jax.random.uniform(rng, (in_dim, r), jnp.float32, -bound, bound)
     return {"a": a, "b": jnp.zeros((r, out_dim), jnp.float32)}
 

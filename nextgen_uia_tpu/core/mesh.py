@@ -26,8 +26,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_data: int | None = None, n_model: int = 1, *, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    use = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+        n_data = max(len(devices) // n_model, 1)
+    need = n_data * n_model
+    if len(devices) < need:
+        raise ValueError(
+            f"make_mesh: need {need} devices for a ({n_data} data x {n_model} "
+            f"model) mesh, but only {len(devices)} visible "
+            f"({jax.default_backend()} backend). For a virtual CPU mesh set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={need} and "
+            f"force jax.config.update('jax_platforms', 'cpu') before backend "
+            f"init (see tests/conftest.py).")
+    use = np.asarray(devices[:need]).reshape(n_data, n_model)
     return Mesh(use, ("data", "model"))
 
 

@@ -108,10 +108,12 @@ def make_train_step(loss_fn: Callable[..., Any], optimizer, cfg: TrainConfig,
 
         updates, new_opt = optimizer.update(grads, state["opt"], params)
         new_params = optax.apply_updates(params, updates)
-        # if every microbatch was non-finite, keep previous params
+        # if every microbatch was non-finite, skip the whole update: keep
+        # previous params AND optimizer state (moments/step count must not
+        # advance on zero grads — reference skip-the-step semantics)
         any_ok = n_ok > 0
-        new_params = jax.tree_util.tree_map(
-            lambda n, o: jnp.where(any_ok, n, o), new_params, params)
+        new_params, new_opt = _keep_if_skipped(
+            any_ok, (new_params, new_opt), (params, state["opt"]))
         new_state = {"params": new_params, "opt": new_opt, "step": state["step"] + 1}
         metrics = {"loss": loss_sum / denom, "grad_norm": gnorm,
                    "skipped": cfg.accum_steps - n_ok}
@@ -121,6 +123,16 @@ def make_train_step(loss_fn: Callable[..., Any], optimizer, cfg: TrainConfig,
 
     donate_args = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_args)
+
+
+def _keep_if_skipped(any_ok, new_trees, old_trees):
+    """Select new vs old pytrees elementwise on the any_ok predicate.
+
+    Non-float leaves (e.g. optax int step counters) are selected too so the
+    schedule does not advance on an all-skipped update.
+    """
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(any_ok, n, o), new_trees, old_trees)
 
 
 def make_sharded_train_step(loss_fn, optimizer, cfg: TrainConfig, mesh,
@@ -141,7 +153,7 @@ def make_sharded_train_step(loss_fn, optimizer, cfg: TrainConfig, mesh,
     For global negatives, all_gather features inside loss_fn over 'data'.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=has_aux)
 
@@ -170,8 +182,9 @@ def make_sharded_train_step(loss_fn, optimizer, cfg: TrainConfig, mesh,
         grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
         grads = jax.lax.pmean(grads, "data")
         loss = jax.lax.pmean(loss_sum / denom, "data")
+        n_ok_any = jax.lax.pmax(n_ok, "data")
         skipped = jax.lax.pmax(cfg.accum_steps - n_ok, "data")
-        return grads, loss, skipped
+        return grads, loss, n_ok_any, skipped
 
     rep = P()
     batch_spec = P(None, "data")
@@ -184,9 +197,9 @@ def make_sharded_train_step(loss_fn, optimizer, cfg: TrainConfig, mesh,
                       jax.tree_util.tree_map(lambda _: rep, frozen),
                       specs_batch, rep),
             out_specs=(jax.tree_util.tree_map(lambda _: rep, state["params"]),
-                       rep, rep),
-            check_rep=False)
-        grads, loss, skipped = sharded(state["params"], frozen, batch, rng)
+                       rep, rep, rep),
+            check_vma=False)
+        grads, loss, n_ok_any, skipped = sharded(state["params"], frozen, batch, rng)
 
         gnorm = optax.global_norm(grads)
         if cfg.grad_clip > 0:
@@ -194,6 +207,9 @@ def make_sharded_train_step(loss_fn, optimizer, cfg: TrainConfig, mesh,
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         updates, new_opt = optimizer.update(grads, state["opt"], state["params"])
         new_params = optax.apply_updates(state["params"], updates)
+        # all-skipped update on every shard: keep params AND opt state
+        new_params, new_opt = _keep_if_skipped(
+            n_ok_any > 0, (new_params, new_opt), (state["params"], state["opt"]))
         new_state = {"params": new_params, "opt": new_opt, "step": state["step"] + 1}
         return new_state, {"loss": loss, "grad_norm": gnorm, "skipped": skipped}
 

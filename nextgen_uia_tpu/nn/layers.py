@@ -31,11 +31,14 @@ def _uniform(rng, shape, bound, dtype=jnp.float32):
 
 
 def linear_init(rng, in_dim: int, out_dim: int, *, bias: bool = True, std: float | None = None):
-    """Linear layer params. Default init matches torch nn.Linear (kaiming-uniform)."""
+    """Linear layer params. Default init matches torch nn.Linear:
+    kaiming_uniform_(a=sqrt(5)) gives bound = 1/sqrt(fan_in) — the sqrt(3)
+    from uniform variance cancels against the gain sqrt(2/(1+5)) = 1/sqrt(3).
+    """
     kw, kb = jax.random.split(rng)
     if std is None:
         bound = 1.0 / math.sqrt(in_dim)
-        w = _uniform(kw, (in_dim, out_dim), math.sqrt(3.0) * bound)
+        w = _uniform(kw, (in_dim, out_dim), bound)
     else:
         w = jax.random.normal(kw, (in_dim, out_dim), jnp.float32) * std
         bound = 1.0 / math.sqrt(in_dim)
@@ -98,11 +101,12 @@ ACTIVATIONS = {"gelu": gelu, "quick_gelu": quick_gelu, "relu": jax.nn.relu}
 
 
 def conv_init(rng, kh: int, kw: int, in_ch: int, out_ch: int, *, groups: int = 1, bias: bool = True):
-    """Conv2d params; torch-style kaiming-uniform fan_in init."""
+    """Conv2d params; torch nn.Conv2d default init (kaiming_uniform_(a=sqrt(5))
+    -> weight bound 1/sqrt(fan_in), same cancellation as linear_init)."""
     k1, k2 = jax.random.split(rng)
     fan_in = kh * kw * (in_ch // groups)
     bound = 1.0 / math.sqrt(fan_in)
-    w = _uniform(k1, (kh, kw, in_ch // groups, out_ch), math.sqrt(3.0) * bound)
+    w = _uniform(k1, (kh, kw, in_ch // groups, out_ch), bound)
     p = {"w": w}
     if bias:
         p["b"] = _uniform(k2, (out_ch,), bound)

@@ -63,7 +63,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, n, causal):
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dq_ref, dk_ref, dv_ref,
-                *, scale, n, causal):
+                dbias_ref, *, scale, n, causal):
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
     g = g_ref[0].astype(jnp.float32)
     bias_row = bias_ref[0, 0] if bias_ref is not None else None
@@ -73,7 +73,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dq_ref, dk_ref, dv_ref,
                              preferred_element_type=jnp.float32)  # [G, Np, D]
     dp = jax.lax.dot_general(g, v.astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)  # [G, Np, Np]
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    # ds_raw = d(loss)/d(pre-softmax logits); bias enters the logits with
+    # coefficient 1, q·k with coefficient `scale`
+    ds_raw = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = ds_raw * scale
     dq = jax.lax.dot_general(ds, k.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     dk = jax.lax.dot_general(ds, q.astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
@@ -81,6 +84,17 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dq_ref, dk_ref, dv_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
+    if dbias_ref is not None:
+        # bias is broadcast over heads and query rows; its cotangent is the
+        # sum of ds_raw over both. Head groups revisit the same output block
+        # (index map drops the gi grid axis), so accumulate across grid steps.
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
+
+        db = jnp.sum(ds_raw, axis=(0, 1))  # [Np]
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, db.shape[0]), 0)
+        dbias_ref[0] += jnp.where(row == 0, db[None, :], 0.0).astype(dbias_ref.dtype)
 
 
 def _group_size(h: int) -> int:
@@ -139,18 +153,30 @@ def _flash_bwd_rule(causal, n, res, grad):
     in_specs = in_specs + [qkv_spec]  # grad input
     if bias is None:
         def kernel(qr, kr, vr, gr, dqr, dkr, dvr):
-            _bwd_kernel(qr, kr, vr, None, gr, dqr, dkr, dvr,
+            _bwd_kernel(qr, kr, vr, None, gr, dqr, dkr, dvr, None,
                         scale=scale, n=n, causal=causal)
+        out_specs = (qkv_spec,) * 3
+        out_shape = (jax.ShapeDtypeStruct((b, h, np_, d), q.dtype),) * 3
     else:
         kernel = functools.partial(_bwd_kernel, scale=scale, n=n, causal=causal)
+        dbias_spec = pl.BlockSpec((1, 8, np_), lambda bi, gi: (bi, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        out_specs = (qkv_spec,) * 3 + (dbias_spec,)
+        out_shape = (jax.ShapeDtypeStruct((b, h, np_, d), q.dtype),) * 3 + (
+            jax.ShapeDtypeStruct((b, 8, np_), jnp.float32),)
     args = (q, k, v) + ((bias,) if bias is not None else ()) + (grad,)
-    dq, dk, dv = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs,
-        out_specs=(qkv_spec,) * 3,
-        out_shape=(jax.ShapeDtypeStruct((b, h, np_, d), q.dtype),) * 3,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_should_interpret(),
     )(*args)
-    dbias = jnp.zeros_like(bias) if bias is not None else None
+    if bias is None:
+        dq, dk, dv = outs
+        dbias = None
+    else:
+        dq, dk, dv, dbias = outs
+        dbias = dbias.astype(bias.dtype)
     return dq, dk, dv, dbias
 
 
@@ -169,7 +195,9 @@ def flash_attention(q, k, v, *, bias=None, causal: bool = False,
     layout 'bhnd': q,k,v [B, H, N, D] — preferred; lets the caller produce the
       head-major layout directly from the projection einsum so no explicit
       transpose copies hit HBM. Output matches the input layout.
-    bias: optional additive [B, N] (key padding).
+    bias: optional additive [B, N] (key padding). Differentiable: the backward
+      kernel accumulates d(bias) = sum of pre-softmax-logit cotangents over
+      heads and query rows, so learnable additive biases train correctly.
     """
     if layout == "bnhd":
         b, nq, h, d = q.shape

@@ -209,7 +209,13 @@ def finetune_main(family: str, argv=None):
                       for b in P.prefetch_to_device(
                           tokenized_batches(val_ds, False, False, None), sharding=None)]
         val_losses = [v for v in val_losses if np.isfinite(v)]
-        avg_val = float(np.mean(val_losses)) if val_losses else 0.0
+        if val_losses:
+            avg_val = float(np.mean(val_losses))
+        else:
+            # every val batch non-finite: never register as a new best
+            # (reference skips non-finite val losses, finetune.py:311-321)
+            avg_val = float("inf")
+            logging.warning("All validation losses non-finite this epoch")
         avg_train = epoch_loss / max(nb, 1)
         writer.scalar("val/loss_per_epoch", avg_val, epoch + 1)
         writer.scalar("train/loss_per_epoch", avg_train, epoch + 1)

@@ -99,9 +99,10 @@ def zero_shot_main(family: str, argv=None):
                       workers=args.num_workers)):
         logits, feats = image_logits(params, batch["image"])
         acc.update(np.asarray(logits), np.asarray(batch["label"]))
-        if len(collected_feats) < 10:
-            collected_feats.append(np.asarray(feats))
-            collected_labels.append(np.asarray(batch["label"]))
+        # collect ALL test features for the collapse diagnostic
+        # (zero_shot.py:234-244 uses the full feature matrix)
+        collected_feats.append(np.asarray(feats))
+        collected_labels.append(np.asarray(batch["label"]))
 
     feats = np.concatenate(collected_feats, axis=0)
     if len(feats) > 10:  # feature-collapse diagnostic (zero_shot.py:237-244)

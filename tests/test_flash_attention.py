@@ -119,3 +119,19 @@ def test_flash_backward_causal_bias():
                      argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gc_fl, gc_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
+
+
+def test_flash_bias_gradient():
+    """d(loss)/d(bias) through the flash kernel matches the einsum reference
+    (the backward kernel accumulates dbias across head-group grid cells)."""
+    b, n, h, d = 2, 33, 4, 64
+    ks = jax.random.split(jax.random.key(7), 4)
+    q = jax.random.normal(ks[0], (b, n, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, n, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, n, h, d), jnp.float32)
+    bias = 0.3 * jax.random.normal(ks[3], (b, n), jnp.float32)
+
+    g_ref = jax.grad(lambda bb: jnp.sum(ref_attention(q, k, v, bias=bb) ** 2))(bias)
+    g_fl = jax.grad(lambda bb: jnp.sum(flash_attention(q, k, v, bias=bb) ** 2))(bias)
+    np.testing.assert_allclose(np.asarray(g_fl), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)

@@ -53,6 +53,19 @@ def test_train_step_skips_nonfinite():
     assert int(m["skipped"]) == 2
     np.testing.assert_allclose(np.asarray(state2["params"]["w"]),
                                np.asarray(params["w"]))  # params unchanged
+    # optimizer state must not advance either (reference skip-the-step):
+    # Adam moments stay zero and the schedule step count stays put
+    for old, new in zip(jax.tree_util.tree_leaves(state["opt"]),
+                        jax.tree_util.tree_leaves(state2["opt"])):
+        np.testing.assert_allclose(np.asarray(new), np.asarray(old))
+
+    # a subsequent good batch must still train normally
+    yg = jnp.ones((4, 1))
+    good = T.stack_microbatches({"x": x, "y": yg}, 2)
+    state3, m3 = step(state2, {"b": jnp.zeros(1)}, good, jax.random.key(1))
+    assert int(m3["skipped"]) == 0
+    assert not np.allclose(np.asarray(state3["params"]["w"]),
+                           np.asarray(params["w"]))
 
 
 def test_early_stopper():
