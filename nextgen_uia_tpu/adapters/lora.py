@@ -30,6 +30,31 @@ def lora_pair_init(rng, in_dim: int, out_dim: int, r: int):
     return {"a": a, "b": jnp.zeros((r, out_dim), jnp.float32)}
 
 
+def inject_lora_bert(rng, bert_params, *, dim: int, r: int = 16,
+                     targets=("q", "k", "v", "o"), num_layers: int | None = None):
+    """Add 'lora' slots to the BERT text tower's self-attention q/k/v/o —
+    the reference's tune_text_encoder path (lora.py:317-367: query/key/value
+    + attention.output.dense of the first ``num_layers`` encoder layers).
+    Returns (new_bert_params, count)."""
+    layers = bert_params["layers"]
+    n = len(layers) if num_layers is None else min(num_layers, len(layers))
+    new_layers = []
+    for i, layer in enumerate(layers):
+        layer = dict(layer)
+        if i < n:
+            attn = dict(layer["attn"])
+            lora = {}
+            for t in targets:
+                rng, sub = jax.random.split(rng)
+                lora[t] = lora_pair_init(sub, dim, dim, r)
+            attn["lora"] = lora
+            layer["attn"] = attn
+        new_layers.append(layer)
+    out = dict(bert_params)
+    out["layers"] = new_layers
+    return out, n
+
+
 def inject_lora(rng, vit_params, *, dim: int, r: int = 16,
                 targets=("q", "k", "v", "o"), num_layers: int | None = None):
     """Return (new_vit_params, count): add 'lora' slots to attention subtrees

@@ -92,12 +92,19 @@ def _dwconv7(x, kernel):
 
 
 def _dwconv7_per_sample(x, kernels):
-    """Per-sample depthwise conv via batch-in-channels trick.
+    """Per-sample depthwise conv.
 
-    x [B,h,w,C], kernels [B,7,7,1,C] -> fold batch into channels so one grouped
-    conv covers the whole batch: [1,h,w,B*C] with B*C groups.
+    x [B,h,w,C], kernels [B,7,7,1,C]. On TPU this runs as a Pallas stencil
+    kernel (ops/dwconv.py) — XLA's only formulation is a batch-in-channels
+    grouped conv (B*C groups), which lowers poorly (~3.8 ms/step profiled).
+    Elsewhere: fold batch into channels so one grouped conv covers the batch:
+    [1,h,w,B*C] with B*C groups.
     """
     b, h, w, c = x.shape
+    if jax.default_backend() == "tpu":
+        from ..ops.dwconv import dwconv7_per_sample
+
+        return dwconv7_per_sample(x, kernels[:, :, :, 0, :])
     xf = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, h, w, b * c)
     kf = jnp.transpose(kernels[:, :, :, 0, :], (1, 2, 0, 3)).reshape(7, 7, 1, b * c)
     y = jax.lax.conv_general_dilated(

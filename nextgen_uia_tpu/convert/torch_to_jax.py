@@ -226,6 +226,35 @@ def convert_openai_clip(sd, depth=12, text_depth=12, *, strip_module=False,
 # ---------------------------------------------------------------------------
 
 
+def convert_pyramid_head(sd, *, num_layers=3, task="seg", cls_hidden=False,
+                         prefix="", strip_clip=True):
+    """Reference CLIPAdapter/TimmCLIPAdapter head weights -> our PyramidHead.
+
+    Layout sources: openai_clip/clip_adapter.py:30-58 and
+    timm/clip_adapter.py:29-56 — reduces.N, blocks.N.(0 LN, 1 fc1, 3 fc2),
+    seg_head.1 conv, cls_head (timm: .3 linear; openai cls_hidden: .2 + .5).
+    ``strip_clip`` drops the frozen clip_model.* entries (head-only
+    checkpoints are what the reference training loop saves).
+    """
+    sd = _numpy_sd(sd)
+    if strip_clip:
+        sd = {k: v for k, v in sd.items() if not k.startswith("clip_model.")}
+    flat = {}
+    for i in range(num_layers):
+        flat.update(_flat(_lin(sd, f"{prefix}reduces.{i}"), f"reduces/{i}"))
+        flat.update(_flat(_ln(sd, f"{prefix}blocks.{i}.0"), f"blocks/{i}/ln"))
+        flat.update(_flat(_lin(sd, f"{prefix}blocks.{i}.1"), f"blocks/{i}/fc1"))
+        flat.update(_flat(_lin(sd, f"{prefix}blocks.{i}.3"), f"blocks/{i}/fc2"))
+    if task == "seg":
+        flat.update(_flat(_conv(sd, f"{prefix}seg_head.1"), "seg_head"))
+    elif cls_hidden:
+        flat.update(_flat(_lin(sd, f"{prefix}cls_head.2"), "cls_head/fc1"))
+        flat.update(_flat(_lin(sd, f"{prefix}cls_head.5"), "cls_head/fc2"))
+    else:
+        flat.update(_flat(_lin(sd, f"{prefix}cls_head.3"), "cls_head"))
+    return flat
+
+
 def convert_clipseg_decoder(sd, depth=3):
     """HF CLIPSegForImageSegmentation (or bare decoder) state dict -> our
     clipseg decoder tree. Accepts keys with or without a 'decoder.' prefix."""

@@ -52,10 +52,23 @@ def partition(params, predicate: Callable[[str], bool]):
 
 
 def merge(a, b):
-    """Inverse of ``partition``: combine two complementary trees."""
-    return jax.tree_util.tree_map(
-        lambda x, y: x if x is not None else y, a, b,
-        is_leaf=lambda v: v is None)
+    """Inverse of ``partition``: combine two complementary trees.
+
+    Structural union: keys present in only one tree pass through (needed for
+    freeze-time compute extras like prepack_qkv's 'qkv' entries, which exist
+    only on the frozen side). Where both sides carry a non-None leaf, ``a``
+    wins — partition guarantees complementarity for its own outputs.
+    """
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if isinstance(a, dict) and isinstance(b, dict):
+        return {k: merge(a.get(k), b.get(k)) for k in set(a) | set(b)}
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)) \
+            and len(a) == len(b):
+        return type(a)(merge(x, y) for x, y in zip(a, b))
+    return a
 
 
 def by_keywords(*keywords: str) -> Callable[[str], bool]:
@@ -79,6 +92,41 @@ def cast_frozen_bf16(frozen):
         lambda v: v.astype(jnp.bfloat16)
         if v is not None and v.dtype == jnp.float32 else v,
         frozen, is_leaf=lambda v: v is None)
+
+
+def prepack_qkv(frozen):
+    """Freeze-time attention prepack: concatenate each frozen attention
+    subtree's q/k/v weights into one ``qkv`` entry ({'w': [d, 3d],
+    'b': [3, d]}) so the projection runs as ONE wide matmul instead of three
+    thin ones (profiled ~2x on the MXU; nn.attention.mha prefers 'qkv' when
+    present). Original q/k/v entries are kept for the einsum fallback and
+    checkpoint-name stability; the duplicates are frozen weights, so the
+    extra HBM residency is bounded (~3.5 MB/block bf16).
+
+    Apply to the FROZEN subtree only — trainable attention weights must stay
+    unpacked so their gradients keep the reference layout.
+    """
+    import jax.numpy as jnp
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {k: walk(v) for k, v in node.items()}
+            if all(t in node and isinstance(node[t], dict) and "w" in node[t]
+                   for t in ("q", "k", "v", "o")):
+                ws = [node[t]["w"] for t in ("q", "k", "v")]
+                if all(w is not None and getattr(w, "ndim", 0) == 2
+                       and w.shape == ws[0].shape for w in ws):
+                    packed = {"w": jnp.concatenate(ws, axis=1)}
+                    if all(node[t].get("b") is not None for t in ("q", "k", "v")):
+                        packed["b"] = jnp.stack(
+                            [node[t]["b"] for t in ("q", "k", "v")])
+                    out["qkv"] = packed
+            return out
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(frozen)
 
 
 def trainable_predicate(method: str) -> Callable[[str], bool]:

@@ -162,21 +162,29 @@ def make_sharded_train_step(loss_fn, optimizer, cfg: TrainConfig, mesh,
         rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
 
         def micro(carry, xs):
-            grads_acc, loss_acc, count = carry
+            grads_acc, loss_acc, count, _ = carry
             mb, mb_rng = xs
             if has_aux:
-                (loss, _), grads = grad_fn(params, frozen, mb, mb_rng)
+                (loss, aux), grads = grad_fn(params, frozen, mb, mb_rng)
             else:
                 loss, grads = grad_fn(params, frozen, mb, mb_rng)
+                aux = None
             ok = jnp.isfinite(loss)
             grads = jax.tree_util.tree_map(
                 lambda g, a: a + jnp.where(ok, g, 0.0), grads, grads_acc)
-            return (grads, loss_acc + jnp.where(ok, loss, 0.0), count + ok), None
+            return (grads, loss_acc + jnp.where(ok, loss, 0.0), count + ok, aux), None
 
         zero = jax.tree_util.tree_map(jnp.zeros_like, params)
         rngs = jax.random.split(rng, cfg.accum_steps)
-        (grads, loss_sum, n_ok), _ = jax.lax.scan(
-            micro, (zero, 0.0, jnp.zeros((), jnp.int32)), (batch, rngs))
+        aux0 = None
+        if has_aux:
+            aux0 = jax.eval_shape(
+                lambda: loss_fn(params, frozen,
+                                jax.tree_util.tree_map(lambda x: x[0], batch),
+                                rng)[1])
+            aux0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), aux0)
+        (grads, loss_sum, n_ok, aux), _ = jax.lax.scan(
+            micro, (zero, 0.0, jnp.zeros((), jnp.int32), aux0), (batch, rngs))
         # average over microbatches locally, then over the data axis
         denom = jnp.maximum(n_ok, 1).astype(jnp.float32)
         grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
@@ -184,7 +192,10 @@ def make_sharded_train_step(loss_fn, optimizer, cfg: TrainConfig, mesh,
         loss = jax.lax.pmean(loss_sum / denom, "data")
         n_ok_any = jax.lax.pmax(n_ok, "data")
         skipped = jax.lax.pmax(cfg.accum_steps - n_ok, "data")
-        return grads, loss, n_ok_any, skipped
+        if has_aux:
+            # merge per-shard batch statistics (e.g. BN running stats)
+            aux = jax.tree_util.tree_map(lambda a: jax.lax.pmean(a, "data"), aux)
+        return grads, loss, n_ok_any, skipped, aux
 
     rep = P()
     batch_spec = P(None, "data")
@@ -197,9 +208,10 @@ def make_sharded_train_step(loss_fn, optimizer, cfg: TrainConfig, mesh,
                       jax.tree_util.tree_map(lambda _: rep, frozen),
                       specs_batch, rep),
             out_specs=(jax.tree_util.tree_map(lambda _: rep, state["params"]),
-                       rep, rep, rep),
+                       rep, rep, rep, rep),
             check_vma=False)
-        grads, loss, n_ok_any, skipped = sharded(state["params"], frozen, batch, rng)
+        grads, loss, n_ok_any, skipped, aux = sharded(
+            state["params"], frozen, batch, rng)
 
         gnorm = optax.global_norm(grads)
         if cfg.grad_clip > 0:
@@ -211,10 +223,45 @@ def make_sharded_train_step(loss_fn, optimizer, cfg: TrainConfig, mesh,
         new_params, new_opt = _keep_if_skipped(
             n_ok_any > 0, (new_params, new_opt), (state["params"], state["opt"]))
         new_state = {"params": new_params, "opt": new_opt, "step": state["step"] + 1}
-        return new_state, {"loss": loss, "grad_norm": gnorm, "skipped": skipped}
+        metrics = {"loss": loss, "grad_norm": gnorm, "skipped": skipped}
+        if has_aux:
+            metrics["aux"] = aux
+        return new_state, metrics
 
     donate_args = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_args)
+
+
+def scale_gradient(x, s: float):
+    """Identity on the forward pass; multiplies the cotangent by ``s``.
+
+    Needed when a shard-local loss_fn computes a GLOBAL loss from
+    all_gathered activations: each shard's grad is only its local-sample
+    contribution, and the engine pmean would under-scale it by the data-axis
+    size — pre-scaling by that size makes pmean(g) the true global gradient.
+    """
+    return x * s + jax.lax.stop_gradient(x * (1.0 - s))
+
+
+def make_step_for_mesh(loss_fn, optimizer, cfg: TrainConfig, mesh=None,
+                       *, donate: bool = True, has_aux: bool = False):
+    """Build the right step for a mesh: the plain jitted step when the data
+    axis is 1 wide (or mesh is None), else the shard_map data-parallel step —
+    the Pallas-safe multi-chip path (CLAUDE.md invariant: custom calls must
+    see local shapes).
+
+    Returns (step, batch_sharding): device_put each host-stacked
+    [accum, global_batch, ...] batch with ``batch_sharding`` before calling
+    step (None means unsharded single-device placement).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mesh is None or mesh.shape.get("data", 1) <= 1:
+        return (make_train_step(loss_fn, optimizer, cfg, donate=donate,
+                                has_aux=has_aux), None)
+    step = make_sharded_train_step(loss_fn, optimizer, cfg, mesh,
+                                   donate=donate, has_aux=has_aux)
+    return step, NamedSharding(mesh, P(None, "data"))
 
 
 def stack_microbatches(batch: dict, accum_steps: int):

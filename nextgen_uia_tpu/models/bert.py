@@ -36,6 +36,7 @@ class BertConfig:
     ln_eps: float = 1e-12
     pad_id: int = 0
     mlp_impl: str = "auto"   # 'xla' required when BERT MLP weights train
+    lora_alpha: float = 32.0  # scaling for text-tower LoRA slots (alpha/sqrt(r))
 
 
 def bert_init(rng, cfg: BertConfig):
@@ -90,7 +91,7 @@ def bert_apply(p, cfg: BertConfig, token_ids, *, attention_mask=None, dtype=None
     for layer in p["layers"]:
         # post-norm residual blocks (HF BERT layout)
         a = mha(layer["attn"], x, num_heads=cfg.heads, key_padding_bias=pad_bias,
-                dtype=dtype)
+                dtype=dtype, lora_alpha=cfg.lora_alpha)
         x = layernorm(layer["attn_ln"], x + a, eps=cfg.ln_eps)
         h = run_mlp(layer["ffn"], x, "gelu", cfg.mlp_impl, dtype=dtype)
         x = layernorm(layer["ffn_ln"], x + h, eps=cfg.ln_eps)

@@ -53,7 +53,9 @@ def clip_config(family: str, *, compute_dtype: str = "float32",
         raise ValueError(f"Unknown CLIP family {family!r}; choose from {FAMILIES}")
     if family == "biomedclip":
         vision = dataclasses.replace(VIT_B16_TIMM, mona_variant=mona_variant, lora_alpha=lora_alpha)
-        return CLIPConfig(family, vision, "bert", BertConfig(), compute_dtype=compute_dtype)
+        return CLIPConfig(family, vision, "bert",
+                          BertConfig(lora_alpha=lora_alpha),
+                          compute_dtype=compute_dtype)
     vision = dataclasses.replace(VIT_B16_OPENAI, mona_variant=mona_variant, lora_alpha=lora_alpha)
     return CLIPConfig(family, vision, "clip", TextConfig(), compute_dtype=compute_dtype)
 

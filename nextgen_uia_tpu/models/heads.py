@@ -41,6 +41,10 @@ class PyramidHeadConfig:
     num_classes: int = 2
     img_size: int = 224
     task: str = "seg"              # 'seg' | 'cls'
+    # cls-head flavour: the timm adapter uses GAP->Dropout(0.5)->Linear
+    # (timm/clip_adapter.py:51-56); the OpenAI adapter inserts a hidden
+    # Linear+ReLU+Dropout(0.1) (openai_clip/clip_adapter.py:51-58)
+    cls_hidden: bool = False
 
 
 def pyramid_head_init(rng, cfg: PyramidHeadConfig):
@@ -56,6 +60,11 @@ def pyramid_head_init(rng, cfg: PyramidHeadConfig):
     p = {"reduces": reduces, "blocks": blocks}
     if cfg.task == "seg":
         p["seg_head"] = conv_init(ks[-1], 1, 1, cfg.reduce_dim, cfg.num_classes)
+    elif cfg.cls_hidden:
+        p["cls_head"] = {
+            "fc1": linear_init(ks[-2], cfg.reduce_dim, cfg.reduce_dim),
+            "fc2": linear_init(ks[-1], cfg.reduce_dim, cfg.num_classes),
+        }
     else:
         p["cls_head"] = linear_init(ks[-1], cfg.reduce_dim, cfg.num_classes)
     return p
@@ -87,8 +96,14 @@ def pyramid_head_apply(p, cfg: PyramidHeadConfig, activations, *, rng=None, dtyp
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + p["seg_head"]["b"].astype(fmap.dtype)
         return jnp.moveaxis(logits, -1, 1)  # -> NCHW
-    # cls: GAP -> dropout(0.5) -> linear (clip_adapter.py:51-56)
     pooled = jnp.mean(fmap, axis=(1, 2))
+    if cfg.cls_hidden:
+        # OpenAI adapter: GAP -> linear -> relu -> dropout(0.1) -> linear
+        # (openai_clip/clip_adapter.py:51-58)
+        h = jax.nn.relu(linear(p["cls_head"]["fc1"], pooled, dtype=dtype))
+        h = dropout(rng, h, 0.1)
+        return linear(p["cls_head"]["fc2"], h, dtype=dtype)
+    # timm adapter: GAP -> dropout(0.5) -> linear (timm/clip_adapter.py:51-56)
     pooled = dropout(rng, pooled, 0.5)
     return linear(p["cls_head"], pooled, dtype=dtype)
 

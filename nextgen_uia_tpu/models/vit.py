@@ -66,10 +66,10 @@ class ViTConfig:
     # where MLP weight grads are needed; see ops/fused_mlp.py)
     mlp_impl: str = "auto"
     # pad the token sequence once at embed time to a multiple of this (197 ->
-    # 200), masking padded keys via attention bias. Kills the per-layer pad
-    # copies the flash kernel would otherwise need and aligns row counts for
-    # the fused MLP tiles. 1 disables.
-    token_pad: int = 8
+    # 208), masking padded keys via attention bias. 16 matches the flash
+    # kernel's bf16 sublane tile, so the kernel needs NO internal pad copies
+    # (profiled at 2.7 ms/step for the 200->208 re-pads). 1 disables.
+    token_pad: int = 16
 
     @property
     def grid(self) -> int:

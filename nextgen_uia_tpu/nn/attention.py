@@ -109,9 +109,37 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
                 y = y + (delta * lora_scale).reshape(b, n, num_heads, head_dim).transpose(0, 2, 1, 3)
             return y
 
-        q, k, v = proj_bhnd("q"), proj_bhnd("k"), proj_bhnd("v")
+        if "qkv" in p:
+            # freeze-time prepacked projection (core/partition.prepack_qkv):
+            # one [d, 3d] matmul straight to head-major layout
+            wp = p["qkv"]["w"]
+            if dtype is not None:
+                wp = wp.astype(dtype)
+            xx = x if dtype is None else x.astype(dtype)
+            y = jnp.einsum("bnd,dthe->tbhne", xx,
+                           wp.reshape(d, 3, num_heads, head_dim))
+            if "b" in p["qkv"]:
+                y = y + p["qkv"]["b"].astype(y.dtype).reshape(
+                    3, 1, num_heads, 1, head_dim)
+            q, k, v = y[0], y[1], y[2]
+            if lora is not None:
+                outs = []
+                for i, name in enumerate(("q", "k", "v")):
+                    yi = y[i]
+                    if name in lora:
+                        la = lora[name]
+                        delta = (xx.astype(yi.dtype) @ la["a"].astype(yi.dtype)
+                                 ) @ la["b"].astype(yi.dtype)
+                        yi = yi + (delta * lora_scale).reshape(
+                            b, n, num_heads, head_dim).transpose(0, 2, 1, 3)
+                    outs.append(yi)
+                q, k, v = outs
+        else:
+            q, k, v = proj_bhnd("q"), proj_bhnd("k"), proj_bhnd("v")
+        # key_padding_bias here is always a constant mask (BERT padding /
+        # once-padded ViT tokens) — skip the dbias accumulation in backward
         out = flash_attention(q, k, v, bias=key_padding_bias, causal=causal,
-                              layout="bhnd")
+                              layout="bhnd", bias_grad=False)
         # fused output projection from head-major layout
         wo = p["o"]["w"]
         if dtype is not None:

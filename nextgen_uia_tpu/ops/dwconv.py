@@ -1,0 +1,121 @@
+"""Pallas per-sample depthwise 7x7 conv for MONA's noise-aware variants.
+
+The reference applies three depthwise convs (3/5/7) weighted by per-sample
+softmax weights (mona.py:401-424). We fold them into ONE per-sample 7x7
+kernel (exact under zero padding — adapters/mona.py), which XLA can only
+express as a batch-in-channels grouped conv (feature_group_count = B*C).
+That lowering is poor on TPU (profiled ~3.8 ms/step forward+backward at
+B=64, C=64). Here the conv runs as a Pallas kernel instead: grid over the
+batch, each cell holds the sample's [14,14,C] map in VMEM and accumulates 49
+shifted multiply-adds (VPU work, one [C]-lane weight vector per tap) — no
+grouped-conv lowering at all.
+
+Backward (custom VJP): dx is the same stencil with the spatially-flipped
+kernel; dk[tap] = sum over the valid window of g * x_shifted. Both run in one
+Pallas call reading g and x once.
+
+Numerics: accumulation in f32, outputs cast to the input dtype. Interpreter
+mode on CPU keeps the path testable off-TPU
+(tests/test_dwconv.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+K = 7
+HALO = K // 2
+
+
+def _should_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _fwd_kernel(x_ref, k_ref, o_ref, *, h, w):
+    x = x_ref[0].astype(jnp.float32)          # [h, w, C]
+    kk = k_ref[0].astype(jnp.float32)         # [K, K, C]
+    xp = jnp.pad(x, ((HALO, HALO), (HALO, HALO), (0, 0)))
+    acc = jnp.zeros_like(x)
+    for di in range(K):
+        for dj in range(K):
+            win = jax.lax.slice(xp, (di, dj, 0), (di + h, dj + w, x.shape[-1]))
+            acc = acc + win * kk[di, dj][None, None, :]
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _bwd_kernel(x_ref, k_ref, g_ref, dx_ref, dk_ref, *, h, w):
+    x = x_ref[0].astype(jnp.float32)
+    kk = k_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    gp = jnp.pad(g, ((HALO, HALO), (HALO, HALO), (0, 0)))
+    xp = jnp.pad(x, ((HALO, HALO), (HALO, HALO), (0, 0)))
+    c = x.shape[-1]
+
+    dx = jnp.zeros_like(x)
+    dks = []
+    for di in range(K):
+        row = []
+        for dj in range(K):
+            gwin = jax.lax.slice(gp, (K - 1 - di, K - 1 - dj, 0),
+                                 (K - 1 - di + h, K - 1 - dj + w, c))
+            dx = dx + gwin * kk[di, dj][None, None, :]
+            xwin = jax.lax.slice(xp, (di, dj, 0), (di + h, dj + w, c))
+            row.append(jnp.sum(g * xwin, axis=(0, 1)))  # [C]
+        dks.append(jnp.stack(row))                       # [K, C]
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dk_ref[0] = jnp.stack(dks).astype(dk_ref.dtype)      # [K, K, C]
+
+
+@jax.custom_vjp
+def dwconv7_per_sample(x, kernels):
+    """Per-sample depthwise 7x7 'SAME' conv.
+
+    x: [B, h, w, C]; kernels: [B, 7, 7, C] (one kernel per sample+channel).
+    Returns [B, h, w, C]. Matches the batch-in-channels XLA formulation
+    (adapters/mona.py::_dwconv7_per_sample) bit-for-bit in f32.
+    """
+    return _dwconv_fwd_impl(x, kernels)
+
+
+def _dwconv_fwd_impl(x, kernels):
+    b, h, w, c = x.shape
+    spec_x = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((1, K, K, c), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, h=h, w=w),
+        grid=(b,), in_specs=[spec_x, spec_k], out_specs=spec_x,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=_should_interpret(),
+    )(x, kernels)
+
+
+def _dwconv_fwd_rule(x, kernels):
+    return _dwconv_fwd_impl(x, kernels), (x, kernels)
+
+
+def _dwconv_bwd_rule(res, g):
+    x, kernels = res
+    b, h, w, c = x.shape
+    spec_x = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((1, K, K, c), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dx, dk = pl.pallas_call(
+        functools.partial(_bwd_kernel, h=h, w=w),
+        grid=(b,), in_specs=[spec_x, spec_k, spec_x],
+        out_specs=(spec_x, spec_k),
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct(kernels.shape, jnp.float32)),
+        interpret=_should_interpret(),
+    )(x, kernels, g)
+    return dx, dk.astype(kernels.dtype)
+
+
+dwconv7_per_sample.defvjp(_dwconv_fwd_rule, _dwconv_bwd_rule)

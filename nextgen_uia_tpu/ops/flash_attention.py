@@ -65,21 +65,25 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, n, causal):
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dq_ref, dk_ref, dv_ref,
                 dbias_ref, *, scale, n, causal):
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
-    g = g_ref[0].astype(jnp.float32)
+    g = g_ref[0]
     bias_row = bias_ref[0, 0] if bias_ref is not None else None
     p = _scores(q, k, bias_row, scale=scale, n=n, causal=causal)  # [G, Np, Np]
 
-    dv = jax.lax.dot_general(p, g, (((1,), (1,)), ((0,), (0,))),
+    # Matmul operands stay in the INPUT dtype (bf16 in production): the MXU
+    # runs bf16 contractions at full rate while f32 ones cost ~3x. Softmax
+    # stats, ds, and all accumulations remain f32. With f32 inputs the math
+    # is bit-identical to the reference einsum backward (golden tests).
+    dv = jax.lax.dot_general(p.astype(q.dtype), g, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)  # [G, Np, D]
-    dp = jax.lax.dot_general(g, v.astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
+    dp = jax.lax.dot_general(g, v, (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)  # [G, Np, Np]
     # ds_raw = d(loss)/d(pre-softmax logits); bias enters the logits with
     # coefficient 1, q·k with coefficient `scale`
     ds_raw = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    ds = ds_raw * scale
-    dq = jax.lax.dot_general(ds, k.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+    ds = (ds_raw * scale).astype(q.dtype)
+    dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
-    dk = jax.lax.dot_general(ds, q.astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
+    dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
@@ -98,7 +102,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dq_ref, dk_ref, dv_ref,
 
 
 def _group_size(h: int) -> int:
-    for g in (4, 3, 2, 1):
+    import os
+
+    pref = int(os.environ.get("NEXTGEN_UIA_FLASH_G", "4"))
+    for g in range(min(pref, h), 0, -1):
         if h % g == 0:
             return g
     return 1
@@ -117,8 +124,8 @@ def _build_specs(b, h, g, np_, d, with_bias):
     return (b, h // g), specs, qkv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash(q, k, v, bias, causal, n):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, bias, causal, n, bias_grad):
     return _flash_fwd_impl(q, k, v, bias, causal, n)
 
 
@@ -140,30 +147,39 @@ def _flash_fwd_impl(q, k, v, bias, causal, n):
     )(*args)
 
 
-def _flash_fwd_rule(q, k, v, bias, causal, n):
+def _flash_fwd_rule(q, k, v, bias, causal, n, bias_grad):
     return _flash_fwd_impl(q, k, v, bias, causal, n), (q, k, v, bias)
 
 
-def _flash_bwd_rule(causal, n, res, grad):
+def _flash_bwd_rule(causal, n, bias_grad, res, grad):
     q, k, v, bias = res
     b, h, np_, d = q.shape
     g = _group_size(h)
     scale = 1.0 / (d ** 0.5)
     grid, in_specs, qkv_spec = _build_specs(b, h, g, np_, d, bias is not None)
     in_specs = in_specs + [qkv_spec]  # grad input
+    with_dbias = bias is not None and bias_grad
     if bias is None:
         def kernel(qr, kr, vr, gr, dqr, dkr, dvr):
             _bwd_kernel(qr, kr, vr, None, gr, dqr, dkr, dvr, None,
                         scale=scale, n=n, causal=causal)
-        out_specs = (qkv_spec,) * 3
-        out_shape = (jax.ShapeDtypeStruct((b, h, np_, d), q.dtype),) * 3
+    elif not with_dbias:
+        # constant masks (the common case): skip the dbias accumulation —
+        # the grid-revisited output block would serialize the pipeline
+        def kernel(qr, kr, vr, br, gr, dqr, dkr, dvr):
+            _bwd_kernel(qr, kr, vr, br, gr, dqr, dkr, dvr, None,
+                        scale=scale, n=n, causal=causal)
     else:
         kernel = functools.partial(_bwd_kernel, scale=scale, n=n, causal=causal)
+    if with_dbias:
         dbias_spec = pl.BlockSpec((1, 8, np_), lambda bi, gi: (bi, 0, 0),
                                   memory_space=pltpu.VMEM)
         out_specs = (qkv_spec,) * 3 + (dbias_spec,)
         out_shape = (jax.ShapeDtypeStruct((b, h, np_, d), q.dtype),) * 3 + (
             jax.ShapeDtypeStruct((b, 8, np_), jnp.float32),)
+    else:
+        out_specs = (qkv_spec,) * 3
+        out_shape = (jax.ShapeDtypeStruct((b, h, np_, d), q.dtype),) * 3
     args = (q, k, v) + ((bias,) if bias is not None else ()) + (grad,)
     outs = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs,
@@ -171,12 +187,12 @@ def _flash_bwd_rule(causal, n, res, grad):
         out_shape=out_shape,
         interpret=_should_interpret(),
     )(*args)
-    if bias is None:
-        dq, dk, dv = outs
-        dbias = None
-    else:
+    if with_dbias:
         dq, dk, dv, dbias = outs
         dbias = dbias.astype(bias.dtype)
+    else:
+        dq, dk, dv = outs[:3]
+        dbias = jnp.zeros_like(bias) if bias is not None else None
     return dq, dk, dv, dbias
 
 
@@ -188,16 +204,19 @@ def _should_interpret() -> bool:
 
 
 def flash_attention(q, k, v, *, bias=None, causal: bool = False,
-                    layout: str = "bnhd"):
+                    layout: str = "bnhd", bias_grad: bool = True):
     """Attention with scores kept in VMEM.
 
     layout 'bnhd': q,k,v [B, N, H, D] (transposed internally).
     layout 'bhnd': q,k,v [B, H, N, D] — preferred; lets the caller produce the
       head-major layout directly from the projection einsum so no explicit
       transpose copies hit HBM. Output matches the input layout.
-    bias: optional additive [B, N] (key padding). Differentiable: the backward
-      kernel accumulates d(bias) = sum of pre-softmax-logit cotangents over
-      heads and query rows, so learnable additive biases train correctly.
+    bias: optional additive [B, N] (key padding). Differentiable when
+      bias_grad=True (default): the backward kernel accumulates d(bias) =
+      sum of pre-softmax-logit cotangents over heads and query rows, so
+      learnable additive biases train correctly. Pass bias_grad=False for
+      constant masks (padding) — it returns a zero dbias and skips the
+      grid-revisited accumulation, which costs pipeline overlap.
     """
     if layout == "bnhd":
         b, nq, h, d = q.shape
@@ -217,7 +236,7 @@ def flash_attention(q, k, v, *, bias=None, causal: bool = False,
     if bias is not None:
         bias_f = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, pad)))
         bias_f = jnp.broadcast_to(bias_f[:, None, :], (b, 8, np_))
-    out = _flash(prep(q), prep(k), prep(v), bias_f, causal, nq)
+    out = _flash(prep(q), prep(k), prep(v), bias_f, causal, nq, bias_grad)
     out = out[:, :, :nq, :]
     if layout == "bnhd":
         out = jnp.moveaxis(out, 1, 2)

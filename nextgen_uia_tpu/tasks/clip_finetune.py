@@ -28,7 +28,7 @@ import numpy as np
 from ..core import checkpoint as ckpt
 from ..core import train as T
 from ..core.experiment import TBWriter, model_summary, save_results_csv, setup_logging
-from ..core.mesh import batch_sharding, make_mesh
+from ..core.mesh import make_mesh
 from ..core.partition import by_keywords, merge, partition
 from ..data import datasets as D
 from ..data import pipeline as P
@@ -52,6 +52,13 @@ def _finetune_parser(family: str):
     p.add_argument("--finetune_csvs", type=str, nargs="*", default=None,
                    help="caption CSVs (default: MedPix + PMC-CURD under data_root)")
     p.add_argument("--finetune_img_dirs", type=str, nargs="*", default=None)
+    p.add_argument("--cache_text_features", default=True,
+                   action=__import__("argparse").BooleanOptionalAction,
+                   help="Precompute frozen-text-tower features for all "
+                        "captions once and reuse them every step/epoch "
+                        "(TPU-native; exact for this framework's "
+                        "deterministic text tower — it has no dropout). "
+                        "Auto-disabled when the text encoder trains.")
     p.add_argument("--resume", default=False, action="store_true",
                    help="Resume from runs/<exp>/last_state.npz (full train state; "
                         "new capability — the reference has no mid-run resume)")
@@ -114,6 +121,15 @@ def finetune_main(family: str, argv=None):
         pred = _full_ft_predicate(args, depth=cfg.vision.depth)
     trainable, frozen = partition(params, pred)
     logging.info(model_summary({"model": params}, trainable_pred=pred))
+    # compute-side frozen tree (checkpoints always save the original layout
+    # via `frozen`). NOTE: prepack_qkv measured SLOWER on v5e (the packed
+    # einsum forces a worse layout than three fused projections) — kept
+    # opt-in via NEXTGEN_UIA_PREPACK=1, not default.
+    frozen_c = frozen
+    if os.environ.get("NEXTGEN_UIA_PREPACK") == "1":
+        from ..core.partition import prepack_qkv
+
+        frozen_c = prepack_qkv(frozen)
 
     # data
     csvs = args.finetune_csvs
@@ -131,8 +147,13 @@ def finetune_main(family: str, argv=None):
     logging.info(f"Train samples: {len(train_ds)}, Val samples: {len(val_ds)}")
 
     ctx = cfg.text.context_length
-    mesh = make_mesh(args.n_data, args.n_model)
-    bsh = batch_sharding(mesh)
+    mesh = make_mesh(args.n_data or 1, args.n_model)
+    n_dp = mesh.shape["data"]
+    micro_bs = args.batch_size // args.accumulation_steps
+    if n_dp > 1 and micro_bs % n_dp != 0:
+        raise ValueError(
+            f"microbatch size {micro_bs} (batch_size/accumulation_steps) must "
+            f"be divisible by the data-parallel mesh size {n_dp}")
 
     steps = max(len(train_ds) // args.batch_size, 1)
     updates_per_epoch = math.ceil(steps / args.accumulation_steps)
@@ -146,29 +167,83 @@ def finetune_main(family: str, argv=None):
     opt, _ = T.make_optimizer(tcfg)
     state = T.init_state(trainable, opt)
 
+    # text-feature cache: with a frozen text tower the per-caption features
+    # never change across steps/epochs, so encode each caption ONCE up front
+    # and drop the whole text tower (~15 ms/step profiled) from the train
+    # step. Exact for this framework (deterministic text tower, and InfoNCE
+    # normalizes internally so raw features are cached).
+    use_text_cache = args.cache_text_features and not args.tune_text_encoder
+    text_cache = {}
+
+    def cache_text_features(rows_list):
+        captions = sorted({c for rows in rows_list for _, c in rows})
+        chunk = 256
+        enc = jax.jit(lambda p, t: clip_mod.encode_text(p, cfg, t))
+        for s in range(0, len(captions), chunk):
+            part = captions[s:s + chunk]
+            toks = np.asarray(tokenizer(part, ctx))
+            if len(part) < chunk:  # pad to a fixed shape (one compile)
+                toks = np.pad(toks, ((0, chunk - len(part)), (0, 0)))
+            feats = np.asarray(enc(params, jnp.asarray(toks)).astype(jnp.float32))
+            for c, f in zip(part, feats):
+                text_cache[c] = f
+        logging.info(f"Cached text features for {len(captions)} captions")
+
     def loss_fn(trainable_p, frozen_p, batch, rng):
         p = merge(trainable_p, frozen_p)
         x = batch["image"].astype(jnp.float32) / 255.0
         img_feats, _ = clip_mod.encode_image(p, cfg, x, rng=rng)
-        txt_feats = clip_mod.encode_text(p, cfg, batch["tokens"])
+        if use_text_cache:
+            txt_feats = batch["txt_feat"]
+        else:
+            txt_feats = clip_mod.encode_text(p, cfg, batch["tokens"])
+        if n_dp > 1:
+            # global-batch negatives: gather features over the data axis so
+            # InfoNCE sees the full batch — exact reference semantics
+            # (finetune.py:269-279) at any mesh size. scale_gradient
+            # compensates the engine's pmean (each shard's grad is only its
+            # local-sample contribution to the shared global loss).
+            img_feats = T.scale_gradient(img_feats, float(n_dp))
+            txt_feats = T.scale_gradient(txt_feats, float(n_dp))
+            img_feats = jax.lax.all_gather(img_feats, "data", axis=0, tiled=True)
+            txt_feats = jax.lax.all_gather(txt_feats, "data", axis=0, tiled=True)
         return info_nce(img_feats, txt_feats, temperature=args.temperature)
 
-    step = T.make_train_step(loss_fn, opt, tcfg)
+    # Pallas-safe multi-chip path: shard_map DP step when the data axis > 1
+    # (plain jit can't partition the fused-MLP/flash-attention custom calls)
+    step, mb_sharding = T.make_step_for_mesh(loss_fn, opt, tcfg, mesh)
+    if n_dp > 1:
+        logging.info(f"Data-parallel training over {n_dp} devices (shard_map)")
 
     @jax.jit
     def val_loss_fn(trainable_p, frozen_p, batch):
         p = merge(trainable_p, frozen_p)
         x = batch["image"].astype(jnp.float32) / 255.0
         img_feats, _ = clip_mod.encode_image(p, cfg, x)
-        txt_feats = clip_mod.encode_text(p, cfg, batch["tokens"])
+        if use_text_cache:
+            txt_feats = batch["txt_feat"]
+        else:
+            txt_feats = clip_mod.encode_text(p, cfg, batch["tokens"])
         return info_nce(img_feats, txt_feats, temperature=args.temperature)
+
+    if use_text_cache:
+        cache_text_features([train_rows, val_rows])
 
     def tokenized_batches(ds, shuffle, drop_last, seed):
         for b in P.batches(ds, args.batch_size, shuffle=shuffle, drop_last=drop_last,
                            seed=seed, workers=args.num_workers):
-            b["tokens"] = np.asarray(tokenizer(b["caption"], ctx))
+            if use_text_cache:
+                b["txt_feat"] = np.stack([text_cache[c] for c in b["caption"]])
+            else:
+                b["tokens"] = np.asarray(tokenizer(b["caption"], ctx))
             del b["caption"]
             yield b
+
+    def microbatched(gen):
+        # host-side [B] -> [accum, B//accum] so the device feed can shard the
+        # global-batch axis (axis 1) over 'data'
+        for b in gen:
+            yield T.stack_microbatches(b, args.accumulation_steps)
 
     writer = TBWriter(os.path.join(run_path, "log"))
     stopper = T.EarlyStopper(args.patience, mode="min")
@@ -191,11 +266,11 @@ def finetune_main(family: str, argv=None):
 
     for epoch in range(start_epoch, args.epochs):
         epoch_loss, nb = 0.0, 0
-        for batch in P.prefetch_to_device(
-                tokenized_batches(train_ds, True, True, args.seed + epoch), sharding=bsh):
+        for mb in P.prefetch_to_device(
+                microbatched(tokenized_batches(train_ds, True, True, args.seed + epoch)),
+                sharding=mb_sharding):
             k, k1 = jax.random.split(k)
-            mb = T.stack_microbatches(batch, args.accumulation_steps)
-            state, m = step(state, frozen, mb, k1)
+            state, m = step(state, frozen_c, mb, k1)
             update_count += 1
             loss = float(m["loss"])
             epoch_loss += loss
@@ -205,7 +280,7 @@ def finetune_main(family: str, argv=None):
                 logging.warning(f"{int(m['skipped'])} non-finite microbatches skipped "
                                 f"at update {update_count}")
 
-        val_losses = [float(val_loss_fn(state["params"], frozen, b))
+        val_losses = [float(val_loss_fn(state["params"], frozen_c, b))
                       for b in P.prefetch_to_device(
                           tokenized_batches(val_ds, False, False, None), sharding=None)]
         val_losses = [v for v in val_losses if np.isfinite(v)]

@@ -55,6 +55,39 @@ def extract_layers_for(depth: int):
 # ---------------------------------------------------------------------------
 
 
+def build_text_features(params, cfg, tokenizer, ensemble, *, classes=None):
+    """Per-class normalized prompt-ensemble text features
+    (zero_shot.py:176-187). Shared by the driver and the composite golden
+    pipeline test."""
+    classes = classes or PR.LESION_TYPES
+    encode_text = jax.jit(lambda p, t: clip_mod.encode_text(p, cfg, t))
+    text_feats = {}
+    for cls_name in classes:
+        tokens = jnp.asarray(tokenizer(ensemble[cls_name]))
+        feats = encode_text(params, tokens)
+        text_feats[cls_name] = clip_mod.normalize(feats)
+    return text_feats
+
+
+def make_zero_shot_logits_fn(cfg, text_feats, *, classes=None):
+    """jitted images_u8 -> ([B, n_cls] ensemble-mean 100*cos logits, feats)
+    (zero_shot.py:199-230)."""
+    classes = classes or PR.LESION_TYPES
+
+    @jax.jit
+    def image_logits(p, images_u8):
+        x = images_u8.astype(jnp.float32) / 255.0
+        if x.ndim == 3:  # grayscale [B, H, W]
+            x = jnp.repeat(x[..., None], 3, axis=-1)
+        feats, _ = clip_mod.encode_image(p, cfg, x)
+        feats = clip_mod.normalize(feats)
+        cols = [jnp.mean(100.0 * feats @ text_feats[c].T, axis=1)
+                for c in classes]
+        return jnp.stack(cols, axis=1), feats
+
+    return image_logits
+
+
 def zero_shot_main(family: str, argv=None):
     p = base_parser(f"{family}_zero_shot", batch_size=32)
     args = p.parse_args(argv)
@@ -67,12 +100,7 @@ def zero_shot_main(family: str, argv=None):
     tokenizer = get_text_tokenizer(args, family)
 
     ensemble = PR.prompt_ensemble_for(args.dataset)
-    text_feats = {}
-    encode_text = jax.jit(lambda p, t: clip_mod.encode_text(p, cfg, t))
-    for cls_name in PR.LESION_TYPES:
-        tokens = jnp.asarray(tokenizer(ensemble[cls_name]))
-        feats = encode_text(params, tokens)
-        text_feats[cls_name] = clip_mod.normalize(feats)
+    text_feats = build_text_features(params, cfg, tokenizer, ensemble)
 
     proto = {c: jnp.mean(text_feats[c], axis=0) for c in PR.LESION_TYPES}
     proto_sim = float(proto["benign"] @ proto["malignant"])
@@ -82,15 +110,7 @@ def zero_shot_main(family: str, argv=None):
     datasets = D.make_datasets(args.data_root, args.dataset, args.img_size,
                                task="cls", zero_shot=True)
 
-    @jax.jit
-    def image_logits(p, images_u8):
-        x = images_u8.astype(jnp.float32) / 255.0
-        x = jnp.repeat(x[..., None], 3, axis=-1)
-        feats, _ = clip_mod.encode_image(p, cfg, x)
-        feats = clip_mod.normalize(feats)
-        cols = [jnp.mean(100.0 * feats @ text_feats[c].T, axis=1)
-                for c in PR.LESION_TYPES]
-        return jnp.stack(cols, axis=1), feats
+    image_logits = make_zero_shot_logits_fn(cfg, text_feats)
 
     acc = ClsAccumulator(criterion=cross_entropy_np)
     collected_feats, collected_labels = [], []
@@ -144,7 +164,10 @@ def _build_supervised(args, family: str, task: str, rng):
     cfg, backbone = build_clip_model(args, family, adapter=adapter, rng=rng)
     hcfg = PyramidHeadConfig(feature_dim=cfg.vision.width, reduce_dim=512,
                              num_classes=args.num_classes, img_size=args.img_size,
-                             task=task)
+                             task=task,
+                             # OpenAI-family adapter uses the hidden cls head
+                             # (openai_clip/clip_adapter.py:51-58)
+                             cls_hidden=(family == "openai"))
     head = pyramid_head_init(jax.random.fold_in(rng, 7), hcfg)
     params = {"backbone": backbone, "head": head}
     if args.head_weights:

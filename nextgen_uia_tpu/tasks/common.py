@@ -22,7 +22,7 @@ import random
 import jax
 import numpy as np
 
-from ..adapters.lora import inject_lora
+from ..adapters.lora import inject_lora, inject_lora_bert
 from ..adapters.mona import inject_mona
 from ..core import checkpoint as ckpt
 from ..core.experiment import setup_logging
@@ -139,6 +139,19 @@ def build_clip_model(args, family: str, *, adapter: str | None = None, rng=None)
         params["visual"], n = inject_lora(k2, params["visual"], dim=cfg.vision.width,
                                           r=args.lora_r, num_layers=args.lora_layers)
         logging.info(f"Injected LoRA into {n} blocks (r={args.lora_r}, alpha={args.lora_alpha})")
+        if getattr(args, "tune_text_encoder", False):
+            # reference tune_text_encoder path: LoRA on the BERT encoder's
+            # q/k/v/dense too (lora.py:317-367; BERT-style towers only)
+            if cfg.text_kind == "bert":
+                k3 = jax.random.fold_in(k2, 17)
+                params["text"], nt = inject_lora_bert(
+                    k3, params["text"], dim=cfg.text.width,
+                    r=args.lora_r, num_layers=args.lora_layers)
+                logging.info(f"Injected LoRA into {nt} text-encoder layers")
+            else:
+                logging.warning("--tune_text_encoder with LoRA applies only to "
+                                "BERT-style text towers (reference semantics); "
+                                f"{family} text tower left frozen")
         if args.lora_weights:
             params, n = ckpt.load_into(args.lora_weights, params)
             logging.info(f"Loaded {n} LoRA tensors from {args.lora_weights}")

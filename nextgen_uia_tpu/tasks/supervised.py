@@ -32,6 +32,7 @@ from ..core import checkpoint as ckpt
 from ..core import train as T
 from ..core.experiment import (TBWriter, archive_log, backup_folder,
                                save_results_csv)
+from ..core.mesh import make_mesh
 from ..core.partition import merge, partition
 from ..data import pipeline as P
 from ..losses import dice_ce_loss, focal_loss
@@ -104,6 +105,12 @@ def finish_seg(args, stats, names, vis, run_path):
 def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
     task = bundle.task
     trainable, frozen = partition(bundle.params, bundle.trainable_pred)
+    # NOTE: prepack_qkv measured SLOWER on v5e (see clip_finetune.py) — only
+    # applied when explicitly requested.
+    if os.environ.get("NEXTGEN_UIA_PREPACK") == "1":
+        from ..core.partition import prepack_qkv
+
+        frozen = prepack_qkv(frozen)
     frozen_pack = {"params": frozen, "bn": bundle.bn_state}
 
     def loss_fn(trainable_p, frozen_p, batch, rng):
@@ -149,7 +156,17 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
                              accum_steps=1, total_updates=steps_per_epoch * args.epochs)
         opt, _ = T.make_optimizer(tcfg)
         state = T.init_state(trainable, opt)
-        step = T.make_train_step(loss_fn, opt, tcfg, has_aux=True)
+        mesh = make_mesh(getattr(args, "n_data", None) or 1,
+                         getattr(args, "n_model", 1))
+        n_dp = mesh.shape["data"]
+        if n_dp > 1 and args.batch_size % n_dp != 0:
+            raise ValueError(f"batch_size {args.batch_size} must be divisible "
+                             f"by the data-parallel mesh size {n_dp}")
+        # shard_map DP when data axis > 1 (Pallas-safe; BN aux pmean-merged)
+        step, mb_sharding = T.make_step_for_mesh(loss_fn, opt, tcfg, mesh,
+                                                 has_aux=True)
+        if n_dp > 1:
+            logging.info(f"Data-parallel training over {n_dp} devices (shard_map)")
         stopper = T.EarlyStopper(args.patience, mode="max")
         writer = TBWriter(os.path.join(run_path, "log"))
         key_metric = "acc" if task == "cls" else "dice_mean"
@@ -158,13 +175,22 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
         drop_last = n_train > args.batch_size
         for epoch in range(args.epochs):
             epoch_loss, nb = 0.0, 0
-            for batch in P.prefetch_to_device(
-                    P.batches(datasets["train"], args.batch_size, shuffle=True,
-                              drop_last=drop_last, seed=args.seed + epoch,
-                              workers=args.num_workers)):
+            def microbatched():
+                for batch in P.batches(datasets["train"], args.batch_size,
+                                       shuffle=True, drop_last=drop_last,
+                                       seed=args.seed + epoch,
+                                       workers=args.num_workers):
+                    mb = {kk: v for kk, v in batch.items() if kk != "name"}
+                    mb = T.stack_microbatches(mb, 1)
+                    if n_dp > 1:  # partial final batch: trim to a shardable size
+                        keep = (next(iter(mb.values())).shape[1] // n_dp) * n_dp
+                        if keep == 0:
+                            continue
+                        mb = {kk: v[:, :keep] for kk, v in mb.items()}
+                    yield mb
+
+            for mb in P.prefetch_to_device(microbatched(), sharding=mb_sharding):
                 k, k1 = jax.random.split(k)
-                mb = {kk: v for kk, v in batch.items() if kk != "name"}
-                mb = T.stack_microbatches(mb, 1)
                 frozen_pack = {"params": frozen, "bn": bn_state}
                 state, m = step(state, frozen_pack, mb, k1)
                 if bn_state is not None:

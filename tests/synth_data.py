@@ -35,3 +35,22 @@ def make_synth_root(root, dataset="SYNTH", n=12, img_size=32, seed=0):
         for name, label in labels.items():
             f.write(f"{name},{label}\n")
     return root, dataset, splits
+
+
+def make_finetune_csv(root, n=24, img_size=32, seed=0):
+    """Caption CSV + image dir following the MedPix/PMC-CURD layout
+    (filename,Caption columns; captions must be >20 chars to survive the
+    length filter)."""
+    root = Path(root)
+    (root / "images").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    lines = ["filename,Caption"]
+    for i in range(n):
+        name = f"ft_{i:03d}.png"
+        img = rng.integers(0, 255, (img_size, img_size, 3), dtype=np.uint8)
+        Image.fromarray(img).save(root / "images" / name)
+        lines.append(f"{name},synthetic ultrasound frame number {i} showing a "
+                     f"lesion pattern variant {i % 4}")
+    csv = root / "captions.csv"
+    csv.write_text("\n".join(lines))
+    return str(csv), str(root / "images")

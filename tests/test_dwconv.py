@@ -1,0 +1,53 @@
+"""Pallas per-sample depthwise conv vs the XLA batch-in-channels reference
+(interpret mode on CPU), values and gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nextgen_uia_tpu.adapters.mona import _dwconv7_per_sample
+from nextgen_uia_tpu.ops.dwconv import dwconv7_per_sample
+
+
+def _ref(x, k5):
+    # the XLA formulation (batch folded into channels)
+    return _dwconv7_per_sample(x, k5)
+
+
+def test_dwconv_forward_matches_xla():
+    b, h, w, c = 3, 14, 14, 64
+    ks = jax.random.split(jax.random.key(0), 2)
+    x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
+    k = jax.random.normal(ks[1], (b, 7, 7, c), jnp.float32) * 0.2
+    ref = _ref(x, k[:, :, :, None, :])
+    out = dwconv7_per_sample(x, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_dwconv_odd_spatial():
+    b, h, w, c = 2, 9, 11, 32
+    ks = jax.random.split(jax.random.key(1), 2)
+    x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
+    k = jax.random.normal(ks[1], (b, 7, 7, c), jnp.float32) * 0.2
+    ref = _ref(x, k[:, :, :, None, :])
+    out = dwconv7_per_sample(x, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_dwconv_gradients_match_xla():
+    b, h, w, c = 2, 14, 14, 16
+    ks = jax.random.split(jax.random.key(2), 2)
+    x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
+    k = jax.random.normal(ks[1], (b, 7, 7, c), jnp.float32) * 0.2
+
+    def loss_ref(x, k):
+        return jnp.sum(_ref(x, k[:, :, :, None, :]) ** 2)
+
+    def loss_pl(x, k):
+        return jnp.sum(dwconv7_per_sample(x, k) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+    gp = jax.grad(loss_pl, argnums=(0, 1))(x, k)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)

@@ -1,0 +1,170 @@
+"""End-to-end driver runs for every engine family on synthetic data
+(VERDICT r1 item 5): each engine path is exercised by pytest with artifact
+assertions, mirroring the reference's shell pipelines as de-facto tests
+(scripts/biomedclip.sh:50-236). All runs use --debug_tiny shrunk towers on
+the 8-device virtual CPU mesh."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from synth_data import make_finetune_csv, make_synth_root
+
+
+@pytest.fixture()
+def synth(tmp_path, monkeypatch):
+    root, name, _ = make_synth_root(tmp_path / "data", dataset="BUSI", n=12, img_size=32)
+    monkeypatch.chdir(tmp_path)
+    return str(root)
+
+
+@pytest.fixture()
+def ftdata(tmp_path, monkeypatch):
+    csv, img_dir = make_finetune_csv(tmp_path / "ft", n=40, img_size=32)
+    monkeypatch.chdir(tmp_path)
+    return csv, img_dir
+
+
+TINY = ["--img_size", "32", "--batch_size", "4", "--debug_tiny",
+        "--num_workers", "2"]
+
+
+def _ft_args(csv, img_dir, exp, extra=()):
+    return (["--exp", exp, "--method", "mona", "--mona_variant", "hybrid",
+             "--epochs", "2", "--patience", "5", "--seed", "1",
+             "--finetune_csvs", csv, "--finetune_img_dirs", img_dir]
+            + TINY + list(extra))
+
+
+def test_finetune_multichip_dp_e2e(ftdata, synth):
+    """The headline path: mona finetune with grad accumulation on the 8-way
+    data-parallel mesh (shard_map step), then --resume, then chained
+    zero-shot — all through the real CLI."""
+    from nextgen_uia_tpu.tasks.biomedclip.finetune import main
+
+    csv, img_dir = ftdata
+    out = main(_ft_args(csv, img_dir, "ftdp",
+                        ["--batch_size", "16", "--accumulation_steps", "2",
+                         "--n_data", "8"]))
+    assert np.isfinite(out["best_val_loss"])
+    assert os.path.exists("runs/ftdp/best_model.npz")
+    assert os.path.exists("runs/ftdp/last_state.npz")
+
+    # resume continues from the saved train state for more epochs
+    out2 = main(_ft_args(csv, img_dir, "ftdp",
+                         ["--batch_size", "16", "--accumulation_steps", "2",
+                          "--n_data", "8", "--epochs", "3", "--resume"]))
+    assert np.isfinite(out2["best_val_loss"])
+
+    # chained zero-shot with the trained adapter
+    out3 = main(_ft_args(csv, img_dir, "ftchain",
+                         ["--batch_size", "16", "--accumulation_steps", "2",
+                          "--n_data", "8", "--data_root", synth,
+                          "--chain_zero_shot", "BUSI"]))
+    assert np.isfinite(out3["best_val_loss"])
+    zs_dirs = glob.glob("runs/ftchain_zero_shot/BUSI/test/*_acc=*")
+    assert zs_dirs and os.path.exists(os.path.join(zs_dirs[0], "results.csv"))
+
+
+def test_finetune_dp_close_to_plain(ftdata):
+    """Same seed, 2 epochs: the 8-way DP run (global-negative InfoNCE) must
+    land within tolerance of the single-device run. Dropout rngs differ per
+    shard, so this is a numerical-closeness check, not bit parity."""
+    from nextgen_uia_tpu.tasks.biomedclip.finetune import main
+
+    csv, img_dir = ftdata
+    base = ["--batch_size", "16", "--accumulation_steps", "2"]
+    plain = main(_ft_args(csv, img_dir, "ftp", base))
+    dp = main(_ft_args(csv, img_dir, "ftd", base + ["--n_data", "8"]))
+    assert np.isfinite(plain["best_val_loss"]) and np.isfinite(dp["best_val_loss"])
+    assert abs(plain["best_val_loss"] - dp["best_val_loss"]) < 5e-2, (plain, dp)
+
+
+def test_clip_supervised_classification_e2e(synth):
+    from nextgen_uia_tpu.tasks.clip.classification import main
+
+    stats = main(["--dataset", "BUSI", "--data_root", synth, "--exp", "ccls",
+                  "--epochs", "2", "--val_interval", "2", "--patience", "3"] + TINY)
+    assert {"acc", "auc"} <= set(stats)
+    assert glob.glob("runs/ccls/BUSI/*/*_acc=*/results.csv")
+
+
+def test_clip_supervised_segmentation_e2e(synth):
+    from nextgen_uia_tpu.tasks.clip.segmentation import main
+
+    stats = main(["--dataset", "BUSI", "--data_root", synth, "--exp", "cseg",
+                  "--epochs", "2", "--val_interval", "2", "--patience", "3"] + TINY)
+    assert "dice_mean" in stats
+    assert glob.glob("runs/cseg/BUSI/*/*_iou=*/results.csv")
+
+
+def test_clipseg_segmentation_e2e(synth):
+    from nextgen_uia_tpu.tasks.clipseg.segmentation import main
+
+    stats = main(["--dataset", "BUSI", "--data_root", synth, "--exp", "clseg",
+                  "--epochs", "2", "--val_interval", "2", "--patience", "3"] + TINY)
+    assert "dice_mean" in stats
+
+
+def test_dino_classification_e2e(synth):
+    from nextgen_uia_tpu.tasks.dino.classification import main
+
+    stats = main(["--dataset", "BUSI", "--data_root", synth, "--exp", "dcls",
+                  "--epochs", "2", "--val_interval", "2", "--patience", "3"] + TINY)
+    assert "acc" in stats
+
+
+def test_dino_segmentation_e2e(synth):
+    from nextgen_uia_tpu.tasks.dino.segmentation import main
+
+    stats = main(["--dataset", "BUSI", "--data_root", synth, "--exp", "dseg",
+                  "--epochs", "2", "--val_interval", "2", "--patience", "3"] + TINY)
+    assert "dice_mean" in stats
+
+
+def test_fewshot_segmentation_e2e(synth):
+    from nextgen_uia_tpu.tasks.biomedclip.fewshot_segmentation import main
+
+    stats = main(["--dataset", "BUSI", "--data_root", synth, "--exp", "fseg",
+                  "--epochs", "2", "--val_interval", "2", "--patience", "3",
+                  "--train_ratio", "0.5"] + TINY)
+    assert "dice_mean" in stats
+
+
+def test_retrieval_e2e(ftdata):
+    from nextgen_uia_tpu.tasks.biomedclip.retrieval import main
+
+    csv, img_dir = ftdata
+    stats = main(["--exp", "retr", "--csv", csv, "--img_dir", img_dir] + TINY)
+    assert {"i2t_r1", "t2i_r10", "rsum"} <= set(stats)
+    assert 0 <= stats["rsum"] <= 600
+
+
+def test_supervised_multichip_dp_e2e(tmp_path, monkeypatch):
+    """Supervised engine on the 8-way DP mesh, including batch-stat (BN) aux
+    merging across shards (UNet baseline has BN state)."""
+    root, _, _ = make_synth_root(tmp_path / "data", dataset="BUSI", n=24, img_size=32)
+    monkeypatch.chdir(tmp_path)
+    from nextgen_uia_tpu.tasks.baselines.segmentation import main
+
+    stats = main(["--dataset", "BUSI", "--data_root", str(root), "--exp", "udp",
+                  "--img_size", "32", "--batch_size", "8", "--num_workers", "2",
+                  "--epochs", "2", "--val_interval", "2", "--patience", "3",
+                  "--init_channels", "2", "--n_data", "8"])
+    assert "dice_mean" in stats and np.isfinite(stats["dice_mean"])
+
+
+def test_finetune_text_cache_matches_uncached(ftdata):
+    """--cache_text_features (default) must not change the training
+    trajectory beyond bf16 tiling noise (the cache pass encodes captions in
+    fixed 256-row chunks, so matmul tiling differs slightly from the in-step
+    batch shape)."""
+    from nextgen_uia_tpu.tasks.biomedclip.finetune import main
+
+    csv, img_dir = ftdata
+    uncached = main(_ft_args(csv, img_dir, "ftnc", ["--no-cache_text_features"]))
+    cached = main(_ft_args(csv, img_dir, "ftc", []))
+    assert abs(uncached["best_val_loss"] - cached["best_val_loss"]) < 5e-3, \
+        (uncached, cached)

@@ -135,3 +135,37 @@ def test_flash_bias_gradient():
     g_fl = jax.grad(lambda bb: jnp.sum(flash_attention(q, k, v, bias=bb) ** 2))(bias)
     np.testing.assert_allclose(np.asarray(g_fl), np.asarray(g_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_prepacked_qkv_matches_unpacked():
+    """prepack_qkv's fused projection (flash path) == per-name projections,
+    values and grads, with and without LoRA slots."""
+    from nextgen_uia_tpu.adapters.lora import lora_pair_init
+    from nextgen_uia_tpu.core.partition import prepack_qkv
+    from nextgen_uia_tpu.nn.attention import attention_init, mha
+
+    d, heads, n, b = 64, 4, 33, 2
+    p = attention_init(jax.random.key(0), d)
+    x = jax.random.normal(jax.random.key(1), (b, n, d))
+
+    pp = prepack_qkv(p)
+    assert "qkv" in pp and pp["qkv"]["w"].shape == (d, 3 * d)
+    base = mha(p, x, num_heads=heads, impl="flash")
+    packed = mha(pp, x, num_heads=heads, impl="flash")
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)
+
+    gb = jax.grad(lambda x: jnp.sum(mha(p, x, num_heads=heads, impl="flash") ** 2))(x)
+    gp = jax.grad(lambda x: jnp.sum(mha(pp, x, num_heads=heads, impl="flash") ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gb), atol=1e-4, rtol=1e-4)
+
+    # with LoRA: pack the frozen base, keep lora slots live
+    p["lora"] = {"q": lora_pair_init(jax.random.key(2), d, d, 4),
+                 "v": lora_pair_init(jax.random.key(3), d, d, 4)}
+    p["lora"]["q"]["b"] = jax.random.normal(jax.random.key(4), (4, d)) * 0.1
+    p["lora"]["v"]["b"] = jax.random.normal(jax.random.key(5), (4, d)) * 0.1
+    pp = prepack_qkv(p)
+    base = mha(p, x, num_heads=heads, impl="flash", lora_alpha=8.0)
+    packed = mha(pp, x, num_heads=heads, impl="flash", lora_alpha=8.0)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)

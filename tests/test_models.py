@@ -88,3 +88,69 @@ def test_bfloat16_compute_path():
     pooled, _ = vit_apply(p, cfg.vision, jnp.ones((1, 32, 32, 3)), dtype=jnp.bfloat16)
     assert pooled.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(pooled, dtype=np.float32)).all()
+
+
+def test_lora_bert_text_tower_injection():
+    """Text-tower LoRA (tune_text_encoder, reference lora.py:317-367):
+    zero-init B keeps encode_text unchanged; a nonzero B changes it; slots
+    land on q/k/v/o of the first num_layers encoder layers only."""
+    import dataclasses
+
+    from nextgen_uia_tpu.adapters.lora import inject_lora_bert
+    from nextgen_uia_tpu.models.bert import BertConfig, bert_apply, bert_init
+
+    cfg = BertConfig(vocab_size=100, width=64, depth=3, heads=4,
+                     intermediate=128, embed_dim=32, context_length=16)
+    p = bert_init(jax.random.key(0), cfg)
+    ids = jax.random.randint(jax.random.key(1), (2, 16), 1, 100)
+    base = bert_apply(p, cfg, ids)
+
+    p2, n = inject_lora_bert(jax.random.key(2), p, dim=64, r=4, num_layers=2)
+    assert n == 2
+    assert "lora" in p2["layers"][0]["attn"] and "lora" in p2["layers"][1]["attn"]
+    assert "lora" not in p2["layers"][2]["attn"]
+    assert set(p2["layers"][0]["attn"]["lora"]) == {"q", "k", "v", "o"}
+
+    out = bert_apply(p2, cfg, ids)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(out), atol=1e-6)
+
+    # nonzero B must change the encoding, and grads must flow to LoRA params
+    p3 = jax.tree_util.tree_map(lambda x: x, p2)
+    lora_q = dict(p3["layers"][0]["attn"]["lora"]["q"])
+    lora_q["b"] = jnp.ones_like(lora_q["b"]) * 0.1
+    p3["layers"][0]["attn"]["lora"] = dict(p3["layers"][0]["attn"]["lora"], q=lora_q)
+    out3 = bert_apply(p3, cfg, ids)
+    assert not np.allclose(np.asarray(base), np.asarray(out3))
+
+    def loss(lora_tree):
+        q = dict(p2["layers"][0]["attn"])
+        q["lora"] = lora_tree
+        pp = jax.tree_util.tree_map(lambda x: x, p2)
+        pp["layers"][0] = dict(pp["layers"][0], attn=q)
+        return jnp.sum(bert_apply(pp, cfg, ids) ** 2)
+
+    g = jax.grad(loss)(p2["layers"][0]["attn"]["lora"])
+    # dL/dB nonzero through the zero-init A path? B grads depend on x@A != 0
+    assert float(jnp.abs(g["q"]["b"]).sum()) > 0
+
+
+def test_build_clip_model_text_lora_flag():
+    """--tune_text_encoder + method=lora injects text-tower slots via the
+    driver scaffolding."""
+    import argparse
+
+    from nextgen_uia_tpu.tasks.common import base_parser, build_clip_model
+
+    p = base_parser("t")
+    p.add_argument("--tune_text_encoder", default=False, action="store_true")
+    args = p.parse_args(["--debug_tiny", "--img_size", "32", "--lora_r", "4",
+                         "--tune_text_encoder"])
+    cfg, params = build_clip_model(args, "biomedclip", adapter="lora",
+                                   rng=jax.random.key(0))
+    assert "lora" in params["visual"]["blocks"][0]["attn"]
+    assert "lora" in params["text"]["layers"][0]["attn"]
+
+    args2 = p.parse_args(["--debug_tiny", "--img_size", "32", "--lora_r", "4"])
+    _, params2 = build_clip_model(args2, "biomedclip", adapter="lora",
+                                  rng=jax.random.key(0))
+    assert "lora" not in params2["text"]["layers"][0]["attn"]

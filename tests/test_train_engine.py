@@ -166,3 +166,57 @@ def test_model_sharded_vit_forward():
     x = jax.device_put(jnp.ones((8, 32, 32, 3)), batch_sharding(mesh))
     out, _ = jax.jit(lambda p, x: vit_apply(p, cfg, x))(sharded, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_global_negatives_dp_matches_plain():
+    """DP with all_gathered (global) InfoNCE negatives == plain step on the
+    full batch: loss, grads, and updated params must match. Exercises the
+    scale_gradient compensation for the engine's grad pmean."""
+    from nextgen_uia_tpu.losses import info_nce
+
+    mesh = make_mesh(8, 1)
+    cfg = T.TrainConfig(lr=0.1, accum_steps=2, total_updates=10)
+    opt, _ = T.make_optimizer(cfg)
+    ks = jax.random.split(jax.random.key(3), 4)
+    params = {"wi": 0.1 * jax.random.normal(ks[0], (4, 8)),
+              "wt": 0.1 * jax.random.normal(ks[1], (4, 8))}
+    batch = {"a": jax.random.normal(ks[2], (2, 16, 4)),
+             "b": jax.random.normal(ks[3], (2, 16, 4))}
+
+    def plain_loss(p, f, b, r):
+        return info_nce(b["a"] @ p["wi"], b["b"] @ p["wt"])
+
+    def dp_loss(p, f, b, r):
+        fi = T.scale_gradient(b["a"] @ p["wi"], 8.0)
+        ft = T.scale_gradient(b["b"] @ p["wt"], 8.0)
+        fi = jax.lax.all_gather(fi, "data", axis=0, tiled=True)
+        ft = jax.lax.all_gather(ft, "data", axis=0, tiled=True)
+        return info_nce(fi, ft)
+
+    plain = T.make_train_step(plain_loss, opt, cfg, donate=False)
+    s1, m1 = plain(T.init_state(params, opt), {}, batch, jax.random.key(9))
+
+    step, sh = T.make_step_for_mesh(dp_loss, opt, cfg, mesh, donate=False)
+    assert sh is not None
+    sb = {k: jax.device_put(v, sh) for k, v in batch.items()}
+    s2, m2 = step(T.init_state(params, opt), {}, sb, jax.random.key(9))
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s2["params"]),
+                     jax.tree_util.tree_leaves(s1["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_make_step_for_mesh_plain_on_single_data_axis():
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    cfg = T.TrainConfig(lr=0.1, accum_steps=1, total_updates=10)
+    opt, _ = T.make_optimizer(cfg)
+    step, sh = T.make_step_for_mesh(_toy_loss, opt, cfg, mesh, donate=False)
+    assert sh is None
+    x = jax.random.normal(jax.random.key(0), (1, 8, 2))
+    batch = {"x": x, "y": jnp.ones((1, 8, 1))}
+    params = {"w": jnp.zeros((2, 1))}
+    state, m = step(T.init_state(params, opt), {"b": jnp.zeros(1)}, batch,
+                    jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
