@@ -131,6 +131,40 @@ def _mona_op(p, s, variant: str):
     k3, k5, k7 = _embed_k(p["conv3"]["w"]), _embed_k(p["conv5"]["w"]), _embed_k(p["conv7"]["w"])
     b3, b5, b7 = p["conv3"]["b"], p["conv5"]["b"], p["conv7"]["b"]
 
+    if jax.default_backend() == "tpu":
+        # fused Pallas spatial op: dwconv7(s * freq) + bias + s in one pass
+        # (ops/dwconv.mona_spatial). freq folds in-kernel; the noise-MLP GAP
+        # commutes with the freq scale (mean(s*f) = mean(s)*f), so the tiny
+        # weight MLP runs on mean(s) directly.
+        from ..ops.dwconv import mona_spatial
+
+        b = s.shape[0]
+        c = s.shape[-1]
+        freq = (p["freq_filter"] if variant in _HAS_FREQ
+                else jnp.ones((c,), jnp.float32))
+        stacked_k = jnp.stack([k3[:, :, 0, :], k5[:, :, 0, :], k7[:, :, 0, :]])
+        stacked_b = jnp.stack([b3, b5, b7])  # [3, c]
+        if variant in _HAS_NOISE:
+            pooled = jnp.mean(s.astype(jnp.float32), axis=(1, 2)) \
+                * freq.astype(jnp.float32)[None, :]
+            ne = p["noise_est"]
+            wts = jax.nn.softmax(
+                linear(ne["fc2"], jax.nn.relu(linear(ne["fc1"], pooled))), axis=-1)
+            kernels = jnp.einsum("bs,shwc->bhwc", wts, stacked_k)
+            bias = wts @ stacked_b
+        else:
+            kernels = jnp.broadcast_to(jnp.mean(stacked_k, axis=0)[None],
+                                       (b, 7, 7, c))
+            bias = jnp.broadcast_to(jnp.mean(stacked_b, axis=0)[None], (b, c))
+        y = mona_spatial(s, freq.astype(s.dtype), kernels.astype(s.dtype),
+                         bias.astype(s.dtype))
+        pw = p["pw"]
+        proj = jax.lax.conv_general_dilated(
+            y, pw["w"].astype(y.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + pw["b"].astype(y.dtype)
+        return y + proj
+
     if variant in _HAS_NOISE:
         pooled = jnp.mean(f.astype(jnp.float32), axis=(1, 2))  # [B, c]
         ne = p["noise_est"]
@@ -173,18 +207,25 @@ def _mona_op(p, s, variant: str):
 
 
 def mona_apply(p, x, hw, *, variant: str, rng=None, dropout_rate: float = 0.1):
-    """Apply a MONA adapter to token sequence x [B, N, D]; N = h*w + 1 (CLS first)."""
+    """Apply a MONA adapter to token sequence x [B, N, D].
+
+    N = h*w + 1 (CLS first), or h*w (no CLS — mona.py:141-144), or
+    h*w + 1 + pad (once-padded sequences: the trailing pad rows take the
+    CLS path — channel mixing only, no spatial conv. Their values are
+    attention-masked and sliced off downstream, so this only avoids the
+    per-block slice+concat copies of re-packing to the real length)."""
     b, n, d = x.shape
     h, w = hw
     z = layernorm(p["norm"], x) * p["gamma"].astype(x.dtype) + x * p["gammax"].astype(x.dtype)
     z = linear(p["down"], z, dtype=x.dtype)  # [B, N, c]
     c = z.shape[-1]
 
-    if n == h * w + 1:
-        cls_tok, sp = z[:, :1, :], z[:, 1:, :]
+    if n >= h * w + 1:
+        cls_tok, sp = z[:, :1, :], z[:, 1:1 + h * w, :]
+        tail = z[:, 1 + h * w:, :]
         sp = sp.reshape(b, h, w, c)
         sp = _mona_op(p, sp, variant)
-        z = jnp.concatenate([cls_tok, sp.reshape(b, h * w, c)], axis=1)
+        z = jnp.concatenate([cls_tok, sp.reshape(b, h * w, c), tail], axis=1)
     else:  # no CLS token: whole sequence is spatial (mona.py:141-144)
         sp = z.reshape(b, h, w, c)
         sp = _mona_op(p, sp, variant)

@@ -99,12 +99,15 @@ def convert_timm_vit(sd, prefix="", depth=12, *, layerscale=False):
         b = f"{prefix}blocks.{i}."
         attn = _split_qkv(sd[b + "attn.qkv.weight"], sd.get(b + "attn.qkv.bias"))
         attn["o"] = {"w": sd[b + "attn.proj.weight"].T, "b": sd[b + "attn.proj.bias"]}
+        if b + "mlp.w12.weight" in sd:  # SwiGLUFFNFused (DINOv2 giant2)
+            mlp = {"w12": _lin(sd, b + "mlp.w12"), "w3": _lin(sd, b + "mlp.w3")}
+        else:
+            mlp = {"fc1": _lin(sd, b + "mlp.fc1"), "fc2": _lin(sd, b + "mlp.fc2")}
         blk = {
             "ln1": {"scale": sd[b + "norm1.weight"], "bias": sd[b + "norm1.bias"]},
             "attn": attn,
             "ln2": {"scale": sd[b + "norm2.weight"], "bias": sd[b + "norm2.bias"]},
-            "mlp": {"fc1": {"w": sd[b + "mlp.fc1.weight"].T, "b": sd[b + "mlp.fc1.bias"]},
-                    "fc2": {"w": sd[b + "mlp.fc2.weight"].T, "b": sd[b + "mlp.fc2.bias"]}},
+            "mlp": mlp,
         }
         if layerscale:
             blk["ls1"] = sd[b + "ls1.gamma"]
@@ -294,13 +297,17 @@ def convert_dinov2(sd, depth=12):
     """DINOv2 pretrain checkpoint (vit_base_14). Keys may carry the reference
     loader's remaps (dinov2.py:272-273) or be raw hub keys."""
     sd = _numpy_sd(sd)
-    # normalize: strip 'encoder.'/'backbone.' prefixes, undo chunked-block naming
+    # normalize: strip 'encoder.'/'backbone.' prefixes, undo chunked-block
+    # naming (BlockChunk pads with identities so the global index is the
+    # SECOND numeric segment: 'blocks.<chunk>.<idx>.' -> 'blocks.<idx>.',
+    # vision_transformer.py:142-148)
+    import re as _re
+
     def norm_key(k):
         for p in ("encoder.", "backbone."):
             if k.startswith(p):
                 k = k[len(p):]
-        return k.replace("blocks.0.blocks.", "blocks.").replace("blocks.0.", "blocks.") \
-            if ".blocks." in k or k.startswith("blocks.0.") else k
+        return _re.sub(r"^blocks\.\d+\.(\d+)\.", r"blocks.\1.", k)
 
     sd = {norm_key(k): v for k, v in sd.items()}
     tree = convert_timm_vit(sd, "", depth, layerscale=True)

@@ -33,6 +33,26 @@ DINOV2_B14 = ViTConfig(image_size=518, patch_size=14, width=768, depth=12,
                        heads=12, act="gelu", use_ln_pre=False, patch_bias=True,
                        final_norm="all", proj_dim=None, ln_eps=1e-6)
 
+# Size variants (vision_transformer.py:304-357). giant2 uses the fused
+# SwiGLU FFN (ffn_layer='swiglufused', :112-114); the MemEffAttention /
+# NestedTensorBlock wrappers are torch memory artefacts with no TPU analogue.
+import dataclasses as _dc
+
+DINOV2_S14 = _dc.replace(DINOV2_B14, width=384, depth=12, heads=6)
+DINOV2_L14 = _dc.replace(DINOV2_B14, width=1024, depth=24, heads=16)
+DINOV2_G14 = _dc.replace(DINOV2_B14, width=1536, depth=40, heads=24,
+                         ffn="swiglufused")
+
+DINOV2_ARCHS = {"vit_small": DINOV2_S14, "vit_base": DINOV2_B14,
+                "vit_large": DINOV2_L14, "vit_giant2": DINOV2_G14}
+
+
+def dinov2_config(arch: str = "vit_base") -> ViTConfig:
+    if arch not in DINOV2_ARCHS:
+        raise ValueError(f"Unknown DINOv2 arch {arch!r}; choose from "
+                         f"{sorted(DINOV2_ARCHS)}")
+    return DINOV2_ARCHS[arch]
+
 
 def dinov2_init(rng, cfg: ViTConfig = DINOV2_B14):
     ks = jax.random.split(rng, cfg.depth + 4)

@@ -48,6 +48,8 @@ class ViTConfig:
     heads: int = 12
     mlp_ratio: float = 4.0
     act: str = "gelu"              # 'gelu' (timm/BiomedCLIP) | 'quick_gelu' (OpenAI/UniMedCLIP)
+    ffn: str = "mlp"               # 'mlp' | 'swiglufused' (DINOv2 giant2 —
+                                   # dino/layers/swiglu_ffn.py:45-63)
     use_ln_pre: bool = False        # True for OpenAI/MetaCLIP layout
     patch_bias: bool = True         # False for OpenAI/MetaCLIP conv1
     final_norm: str = "all"         # 'all' (timm) | 'cls' (OpenAI ln_post on CLS only)
@@ -100,19 +102,34 @@ def vit_init(rng, cfg: ViTConfig):
 def _block_init(rng, cfg: ViTConfig):
     k1, k2, k3 = jax.random.split(rng, 3)
     hidden = int(cfg.width * cfg.mlp_ratio)
+    if cfg.ffn == "swiglufused":
+        # SwiGLUFFNFused: hidden = round8(2/3 * 4d); w12 packs both gates
+        # (dino/layers/swiglu_ffn.py:26-33,57)
+        hidden = (int(hidden * 2 / 3) + 7) // 8 * 8
+        mlp = {
+            "w12": linear_init(k2, cfg.width, 2 * hidden),
+            "w3": linear_init(k3, hidden, cfg.width),
+        }
+    else:
+        mlp = {
+            "fc1": linear_init(k2, cfg.width, hidden),
+            "fc2": linear_init(k3, hidden, cfg.width),
+        }
     return {
         "ln1": layernorm_init(cfg.width),
         "attn": attention_init(k1, cfg.width),
         "ln2": layernorm_init(cfg.width),
-        "mlp": {
-            "fc1": linear_init(k2, cfg.width, hidden),
-            "fc2": linear_init(k3, hidden, cfg.width),
-        },
+        "mlp": mlp,
     }
 
 
 def run_mlp(mlp_p, h_in, act: str, impl: str, *, dtype=None):
-    """fc1 -> act -> fc2, via the fused Pallas kernel when eligible."""
+    """fc1 -> act -> fc2 (or SwiGLU: silu(x1)*x2 -> w3 when the param subtree
+    carries 'w12'/'w3'), via the fused Pallas kernel when eligible."""
+    if "w12" in mlp_p:
+        x12 = linear(mlp_p["w12"], h_in, dtype=dtype)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        return linear(mlp_p["w3"], jax.nn.silu(x1) * x2, dtype=dtype)
     use_fused = (impl == "fused" or (impl == "auto" and jax.default_backend() == "tpu"))
     if use_fused:
         from ..ops.fused_mlp import fused_mlp
@@ -140,6 +157,7 @@ def block_apply(p, x, cfg: ViTConfig, *, dtype=None, rng=None,
         a = a * p["ls1"].astype(a.dtype)
     x = x + a
     use_fused_ln_mlp = (cfg.mlp_impl == "auto" and "ls2" not in p
+                        and "w12" not in p["mlp"]
                         and jax.default_backend() == "tpu")
     if use_fused_ln_mlp:
         from ..ops.fused_ln_mlp import fused_ln_mlp_residual
@@ -161,13 +179,10 @@ def block_apply(p, x, cfg: ViTConfig, *, dtype=None, rng=None,
         mona_rng = None
         if rng is not None:
             rng, mona_rng = jax.random.split(rng)
-        if n_real is not None and n_real != x.shape[1]:
-            real = mona_apply(p["mona"], x[:, :n_real], (cfg.grid, cfg.grid),
-                              variant=cfg.mona_variant, rng=mona_rng)
-            x = jnp.concatenate([real, x[:, n_real:]], axis=1)
-        else:
-            x = mona_apply(p["mona"], x, (cfg.grid, cfg.grid),
-                           variant=cfg.mona_variant, rng=mona_rng)
+        # padded tail rows ride the CLS (channel-only) path inside
+        # mona_apply — no per-block slice/concat back to the real length
+        x = mona_apply(p["mona"], x, (cfg.grid, cfg.grid),
+                       variant=cfg.mona_variant, rng=mona_rng)
     return x
 
 

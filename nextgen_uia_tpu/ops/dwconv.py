@@ -119,3 +119,120 @@ def _dwconv_bwd_rule(res, g):
 
 
 dwconv7_per_sample.defvjp(_dwconv_fwd_rule, _dwconv_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Fused MONA spatial op: y = dwconv7(s * freq) + bias + s
+# ---------------------------------------------------------------------------
+
+
+def _mona_fwd_kernel(s_ref, f_ref, k_ref, b_ref, o_ref, *, h, w):
+    s = s_ref[0].astype(jnp.float32)               # [h, w, C]
+    freq = f_ref[0].astype(jnp.float32)            # [C]
+    kk = k_ref[0].astype(jnp.float32)              # [K, K, C]
+    bias = b_ref[0, 0].astype(jnp.float32)         # [C]
+    u = s * freq[None, None, :]
+    up = jnp.pad(u, ((HALO, HALO), (HALO, HALO), (0, 0)))
+    acc = s + bias[None, None, :]
+    for di in range(K):
+        for dj in range(K):
+            win = jax.lax.slice(up, (di, dj, 0), (di + h, dj + w, s.shape[-1]))
+            acc = acc + win * kk[di, dj][None, None, :]
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _mona_bwd_kernel(s_ref, f_ref, k_ref, g_ref, ds_ref, dk_ref, df_ref, db_ref,
+                     *, h, w):
+    s = s_ref[0].astype(jnp.float32)
+    freq = f_ref[0].astype(jnp.float32)
+    kk = k_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    c = s.shape[-1]
+    u = s * freq[None, None, :]
+    up = jnp.pad(u, ((HALO, HALO), (HALO, HALO), (0, 0)))
+    gp = jnp.pad(g, ((HALO, HALO), (HALO, HALO), (0, 0)))
+
+    du = jnp.zeros_like(s)  # d(loss)/d(u), u = s*freq (conv input)
+    dks = []
+    for di in range(K):
+        row = []
+        for dj in range(K):
+            gwin = jax.lax.slice(gp, (K - 1 - di, K - 1 - dj, 0),
+                                 (K - 1 - di + h, K - 1 - dj + w, c))
+            du = du + gwin * kk[di, dj][None, None, :]
+            uwin = jax.lax.slice(up, (di, dj, 0), (di + h, dj + w, c))
+            row.append(jnp.sum(g * uwin, axis=(0, 1)))
+        dks.append(jnp.stack(row))
+    # y = conv(u) + bias + s  ->  ds = freq*du + g; per-sample partials for
+    # the shared freq go out as [C] rows and are summed outside the kernel
+    ds_ref[0] = (freq[None, None, :] * du + g).astype(ds_ref.dtype)
+    dk_ref[0] = jnp.stack(dks).astype(dk_ref.dtype)
+    df_ref[0, 0] = jnp.sum(s * du, axis=(0, 1)).astype(df_ref.dtype)
+    db_ref[0, 0] = jnp.sum(g, axis=(0, 1)).astype(db_ref.dtype)
+
+
+@jax.custom_vjp
+def mona_spatial(s, freq, kernels, bias):
+    """Fused MONA spatial chain: ``dwconv7(s * freq) + bias + s`` in one
+    Pallas pass (the freq-filter identity, folded depthwise conv, folded
+    branch bias, and residual identity of adapters/mona._mona_op).
+
+    s: [B, h, w, C]; freq: [C]; kernels: [B, 7, 7, C]; bias: [B, C].
+    Shared-kernel variants broadcast kernels/bias over B outside — autodiff
+    of the broadcast sums their grads, so no in-kernel accumulation (and no
+    grid-serializing revisited output blocks) is ever needed.
+    """
+    return _mona_fwd_impl(s, freq, kernels, bias)
+
+
+def _row2d(v):
+    return v.reshape(1, -1)
+
+
+def _mona_specs(b, h, w, c):
+    sp = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    kp = pl.BlockSpec((1, K, K, c), lambda i: (i, 0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    fp = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bp = pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return sp, kp, fp, bp
+
+
+def _mona_fwd_impl(s, freq, kernels, bias):
+    b, h, w, c = s.shape
+    sp, kp, fp, bp = _mona_specs(b, h, w, c)
+    return pl.pallas_call(
+        functools.partial(_mona_fwd_kernel, h=h, w=w),
+        grid=(b,), in_specs=[sp, fp, kp, bp],
+        out_specs=sp,
+        out_shape=jax.ShapeDtypeStruct(s.shape, s.dtype),
+        interpret=_should_interpret(),
+    )(s, _row2d(freq), kernels, bias[:, None, :])
+
+
+def _mona_fwd_rule(s, freq, kernels, bias):
+    return _mona_fwd_impl(s, freq, kernels, bias), (s, freq, kernels)
+
+
+def _mona_bwd_rule(res, g):
+    s, freq, kernels = res
+    b, h, w, c = s.shape
+    sp, kp, fp, bp = _mona_specs(b, h, w, c)
+    dfp = pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    ds, dk, df_part, db_part = pl.pallas_call(
+        functools.partial(_mona_bwd_kernel, h=h, w=w),
+        grid=(b,), in_specs=[sp, fp, kp, sp],
+        out_specs=(sp, kp, dfp, dfp),
+        out_shape=(jax.ShapeDtypeStruct(s.shape, s.dtype),
+                   jax.ShapeDtypeStruct(kernels.shape, jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1, c), jnp.float32)),
+        interpret=_should_interpret(),
+    )(s, _row2d(freq), kernels, g)
+    dfreq = jnp.sum(df_part[:, 0, :], axis=0).astype(freq.dtype)
+    dbias = db_part[:, 0, :]
+    return ds, dfreq, dk.astype(kernels.dtype), dbias
+
+
+mona_spatial.defvjp(_mona_fwd_rule, _mona_bwd_rule)

@@ -35,7 +35,7 @@ from ..data import pipeline as P
 from ..losses import info_nce
 from ..models import clip as clip_mod
 from .common import (base_parser, build_clip_model, get_text_tokenizer,
-                     seed_everything, setup_run)
+                     require_real_tokenizer, seed_everything, setup_run)
 
 
 def _finetune_parser(family: str):
@@ -112,6 +112,7 @@ def finetune_main(family: str, argv=None):
         if hasattr(cfg.text, "mlp_impl"):
             cfg = _dc.replace(cfg, text=_dc.replace(cfg.text, mlp_impl="xla"))
     tokenizer = get_text_tokenizer(args, family)
+    require_real_tokenizer(args, tokenizer, f"{family}")
 
     if args.method == "mona":
         pred = by_keywords("mona")
@@ -378,6 +379,7 @@ def retrieval_main(family: str, argv=None):
     adapter = "lora" if args.lora_weights else ("mona" if args.mona_weights else None)
     cfg, params = build_clip_model(args, family, adapter=adapter, rng=rng)
     tokenizer = get_text_tokenizer(args, family)
+    require_real_tokenizer(args, tokenizer, f"{family}")
 
     import pandas as pd
 

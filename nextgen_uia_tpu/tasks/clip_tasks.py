@@ -42,7 +42,7 @@ from ..models.heads import PyramidHeadConfig, pyramid_head_apply, pyramid_head_i
 from ..utils.viz import plot_roc
 from . import prompts as PR
 from .common import (base_parser, build_clip_model, get_text_tokenizer,
-                     seed_everything, setup_run)
+                     require_real_tokenizer, seed_everything, setup_run)
 
 def extract_layers_for(depth: int):
     """Pyramid taps {3,6,9} for ViT-B (clip_adapter.py extract_layers default);
@@ -98,6 +98,7 @@ def zero_shot_main(family: str, argv=None):
     adapter = "lora" if args.lora_weights else ("mona" if args.mona_weights else None)
     cfg, params = build_clip_model(args, family, adapter=adapter, rng=rng)
     tokenizer = get_text_tokenizer(args, family)
+    require_real_tokenizer(args, tokenizer, f"{family}")
 
     ensemble = PR.prompt_ensemble_for(args.dataset)
     text_feats = build_text_features(params, cfg, tokenizer, ensemble)

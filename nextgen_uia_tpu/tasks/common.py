@@ -195,9 +195,32 @@ def get_text_tokenizer(args, family: str):
             ids = clip_tok(texts, context_length=ctx)
             return np.where(ids > 0, 1 + (ids % (vocab - 1)), 0).astype(np.int32)
 
+        fallback.is_fallback = True
         return fallback
     clip_tok = ClipTokenizer()
     return lambda texts, ctx=77: clip_tok(texts, context_length=ctx)
+
+
+def require_real_tokenizer(args, tokenizer, what: str):
+    """Parity-labelled runs (real model sizes, pretrained weights) must not
+    silently use the modulo-folded tokenizer fallback — any metric produced
+    under it is meaningless for reference comparison (VERDICT r1 weak #10).
+    Debug/smoke runs (--debug_tiny, random weights) stay runnable offline;
+    NEXTGEN_UIA_ALLOW_TOKENIZER_FALLBACK=1 overrides explicitly."""
+    if not getattr(tokenizer, "is_fallback", False):
+        return
+    if getattr(args, "debug_tiny", False):
+        return
+    if os.environ.get("NEXTGEN_UIA_ALLOW_TOKENIZER_FALLBACK") == "1":
+        logging.warning(f"{what}: running with the FALLBACK tokenizer by "
+                        "explicit override — results are NOT reference-parity")
+        return
+    raise SystemExit(
+        f"{what}: the real HF tokenizer is unavailable and this is a "
+        "parity-relevant run (no --debug_tiny). Results under the CLIP-BPE "
+        "fallback are meaningless for comparison with the reference. Cache "
+        "the HF tokenizer files locally, pass --debug_tiny for a smoke run, "
+        "or set NEXTGEN_UIA_ALLOW_TOKENIZER_FALLBACK=1 to proceed anyway.")
 
 
 def setup_run(args, subdir: str):

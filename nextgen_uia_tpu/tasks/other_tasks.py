@@ -126,7 +126,9 @@ def clipseg_segmentation_main(argv=None):
 def _build_dino(args, rng):
     import dataclasses
 
-    cfg = DV.DINOV2_B14
+    # the reference hardcodes vit_base (dino/classification.py:74); the size
+    # table is exposed as an additive flag for the other published variants
+    cfg = DV.dinov2_config(getattr(args, "dino_arch", None) or "vit_base")
     if getattr(args, "debug_tiny", False):
         cfg = dataclasses.replace(cfg, width=64, depth=5, heads=4)
     params = DV.dinov2_init(rng, cfg)
@@ -150,6 +152,8 @@ def dino_classification_main(argv=None, *, fewshot: bool = False):
     p = base_parser("dino_classification", epochs=200, batch_size=32,
                     strong_augs=True, weak_augs=True)
     p.set_defaults(patch_size=14)
+    p.add_argument("--dino_arch", type=str, default="vit_base",
+                   choices=sorted(DV.DINOV2_ARCHS))
     if fewshot:
         _add_fewshot_flags(p)
     args = p.parse_args(argv)
@@ -187,6 +191,8 @@ def dino_segmentation_main(argv=None, *, fewshot: bool = False):
     p = base_parser("dino_segmentation", epochs=200, batch_size=32,
                     strong_augs=True, weak_augs=True)
     p.set_defaults(patch_size=14)
+    p.add_argument("--dino_arch", type=str, default="vit_base",
+                   choices=sorted(DV.DINOV2_ARCHS))
     p.add_argument("--decoder_type", type=str, default="unet", choices=["linear", "unet"])
     if fewshot:
         _add_fewshot_flags(p)

@@ -51,3 +51,60 @@ def test_dwconv_gradients_match_xla():
     for a, b_ in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_mona_spatial_matches_composed():
+    """Fused mona_spatial == freq-scale -> dwconv -> +bias -> +identity
+    composed from jnp ops, values and all four gradients."""
+    from nextgen_uia_tpu.ops.dwconv import mona_spatial
+
+    b, h, w, c = 2, 14, 14, 64
+    ks = jax.random.split(jax.random.key(5), 4)
+    s = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
+    freq = 1.0 + 0.1 * jax.random.normal(ks[1], (c,), jnp.float32)
+    k = jax.random.normal(ks[2], (b, 7, 7, c), jnp.float32) * 0.2
+    bias = jax.random.normal(ks[3], (b, c), jnp.float32) * 0.1
+
+    def composed(s, freq, k, bias):
+        f = s * freq[None, None, None, :]
+        y = _ref(f, k[:, :, :, None, :])
+        return y + bias[:, None, None, :] + s
+
+    ref = composed(s, freq, k, bias)
+    out = mona_spatial(s, freq, k, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    gr = jax.grad(lambda *a: jnp.sum(composed(*a) ** 2), argnums=(0, 1, 2, 3))(
+        s, freq, k, bias)
+    gp = jax.grad(lambda *a: jnp.sum(mona_spatial(*a) ** 2), argnums=(0, 1, 2, 3))(
+        s, freq, k, bias)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_mona_spatial_shared_kernel_grads():
+    """Broadcast shared kernels: autodiff must sum dk over the batch."""
+    from nextgen_uia_tpu.ops.dwconv import mona_spatial
+
+    b, h, w, c = 3, 9, 9, 32
+    ks = jax.random.split(jax.random.key(6), 3)
+    s = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
+    kshared = jax.random.normal(ks[1], (7, 7, c), jnp.float32) * 0.2
+    freq = jnp.ones((c,))
+    bias = jnp.zeros((b, c))
+
+    def loss_shared(kk):
+        kb = jnp.broadcast_to(kk[None], (b, 7, 7, c))
+        return jnp.sum(mona_spatial(s, freq, kb, bias) ** 2)
+
+    def loss_ref(kk):
+        kb = jnp.broadcast_to(kk[None], (b, 7, 7, c))
+        f = s
+        y = _ref(f, kb[:, :, :, None, :])
+        return jnp.sum((y + s) ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_shared)(kshared)),
+                               np.asarray(jax.grad(loss_ref)(kshared)),
+                               atol=2e-4, rtol=2e-4)
