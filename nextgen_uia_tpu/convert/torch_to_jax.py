@@ -358,6 +358,50 @@ def convert_resnet(sd, arch="resnet18"):
     return _flat(p), _flat(s)
 
 
+def convert_modified_resnet(sd, layers=(3, 4, 6, 3), prefix="visual."):
+    """CLIP ModifiedResNet tower -> (flat params, flat state).
+
+    Layout: /root/reference/src/third_party/openai_clip/model.py
+    (Bottleneck :10-59, AttentionPool2d :62-99, ModifiedResNet :102-160).
+    ``prefix`` defaults to the tower's keys inside a full CLIP state dict;
+    pass "" for a standalone tower dict.
+    """
+    sd = _numpy_sd({k[len(prefix):]: v for k, v in sd.items()
+                    if k.startswith(prefix)} if prefix else sd)
+
+    def conv_bn(conv_name, bn_name):
+        bp, bs = _bn(sd, bn_name)
+        return ({"conv": {"w": sd[conv_name + ".weight"].transpose(2, 3, 1, 0)},
+                 "bn": bp}, {"bn": bs})
+
+    p, s = {}, {}
+    for i in (1, 2, 3):
+        p[f"stem{i}"], s[f"stem{i}"] = conv_bn(f"conv{i}", f"bn{i}")
+    for stage, nblocks in enumerate(layers):
+        ps, ss = [], []
+        for bidx in range(nblocks):
+            base = f"layer{stage + 1}.{bidx}"
+            bp, bs = {}, {}
+            for ci in (1, 2, 3):
+                bp[f"c{ci}"], bs[f"c{ci}"] = conv_bn(
+                    f"{base}.conv{ci}", f"{base}.bn{ci}")
+            if f"{base}.downsample.0.weight" in sd:
+                bp["down"], bs["down"] = conv_bn(
+                    f"{base}.downsample.0", f"{base}.downsample.1")
+            ps.append(bp)
+            ss.append(bs)
+        p[f"layer{stage + 1}"] = ps
+        s[f"layer{stage + 1}"] = ss
+    p["attnpool"] = {
+        "pos": sd["attnpool.positional_embedding"],
+        "q": _lin(sd, "attnpool.q_proj"),
+        "k": _lin(sd, "attnpool.k_proj"),
+        "v": _lin(sd, "attnpool.v_proj"),
+        "c": _lin(sd, "attnpool.c_proj"),
+    }
+    return _flat(p), _flat(s)
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------

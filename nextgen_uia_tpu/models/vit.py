@@ -150,9 +150,18 @@ def block_apply(p, x, cfg: ViTConfig, *, dtype=None, rng=None,
     key_bias/n_real support once-padded token sequences: padded keys are
     masked in attention, and MONA operates on the real prefix only.
     """
-    a = mha(p["attn"], layernorm(p["ln1"], x, eps=cfg.ln_eps),
-            num_heads=cfg.heads, dtype=dtype, lora_alpha=cfg.lora_alpha,
-            key_padding_bias=key_bias)
+    if cfg.mlp_impl == "auto":
+        # frozen tower: hand mha the raw x + ln1 so the TPU path can fuse
+        # LN into the q/k/v projections (ops/fused_ln_qkv.py); mha applies
+        # the LN itself when the fused kernel is ineligible
+        a = mha(p["attn"], x, num_heads=cfg.heads, dtype=dtype,
+                lora_alpha=cfg.lora_alpha, key_padding_bias=key_bias,
+                ln=p["ln1"], ln_eps=cfg.ln_eps)
+    else:
+        # full fine-tuning differentiates LN weights — keep LN in XLA
+        a = mha(p["attn"], layernorm(p["ln1"], x, eps=cfg.ln_eps),
+                num_heads=cfg.heads, dtype=dtype, lora_alpha=cfg.lora_alpha,
+                key_padding_bias=key_bias)
     if "ls1" in p:  # DINOv2 LayerScale (dino/layers/layer_scale.py)
         a = a * p["ls1"].astype(a.dtype)
     x = x + a

@@ -23,6 +23,12 @@ import jax.numpy as jnp
 from .layers import linear, linear_init
 
 
+def _fused_qkv_enabled() -> bool:
+    import os
+
+    return os.environ.get("NEXTGEN_UIA_FUSED_QKV", "1") != "0"
+
+
 def attention_init(rng, dim: int, *, bias: bool = True):
     ks = jax.random.split(rng, 4)
     return {
@@ -45,7 +51,7 @@ def _proj_with_lora(p, lora, name, x, *, dtype, lora_scale):
 
 def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
         key_padding_bias=None, dtype=None, lora_alpha: float | None = None,
-        impl: str = "auto"):
+        impl: str = "auto", ln=None, ln_eps: float = 1e-5):
     """Self-attention over [B, N, D].
 
     mask: optional generic additive mask broadcastable to [B, H, N, N]
@@ -54,6 +60,10 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
       serve them.
     impl: 'auto' (flash on TPU, einsum elsewhere/with generic mask) |
       'einsum' | 'flash'.
+    ln: optional pre-attention LayerNorm params. When given, the LN is fused
+      into the q/k/v projection kernel on the frozen-tower TPU path
+      (ops/fused_ln_qkv.py); otherwise it is applied here before projecting.
+      Callers that need LN fusion pass raw x + ln instead of layernorm(x).
     LoRA scaling follows the reference: alpha / sqrt(r) (lora.py:21).
     """
     b, n, d = x.shape
@@ -66,6 +76,19 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
 
     use_flash = (impl == "flash" or
                  (impl == "auto" and mask is None and jax.default_backend() == "tpu"))
+
+    qkv_fused = None
+    if ln is not None:
+        if (use_flash and mask is None and lora is None and "qkv" not in p
+                and _fused_qkv_enabled()):
+            from ..ops.fused_ln_qkv import fused_ln_qkv
+
+            xx = x if dtype is None else x.astype(dtype)
+            qkv_fused = fused_ln_qkv(xx, ln, p, heads=num_heads, eps=ln_eps)
+        if qkv_fused is None:
+            from .layers import layernorm
+
+            x = layernorm(ln, x, eps=ln_eps)
     if impl == "fused_block" and mask is None and lora is None:
         # fully fused qkv+attn+o kernel (ops/fused_attention.py). Measured
         # SLOWER than einsum-projections + flash on v5e (thin per-head
@@ -88,6 +111,21 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
                                 bias=key_padding_bias, causal=causal)
         if out is not None:
             return out
+    if qkv_fused is not None:
+        from ..ops.flash_attention import flash_attention
+
+        q, k, v = qkv_fused
+        out = flash_attention(q, k, v, bias=key_padding_bias, causal=causal,
+                              layout="bhnd", bias_grad=False)
+        wo = p["o"]["w"]
+        if dtype is not None:
+            wo = wo.astype(dtype)
+        out_flat = jnp.einsum("bhne,hed->bnd", out,
+                              wo.reshape(num_heads, head_dim, d))
+        if "b" in p["o"]:
+            out_flat = out_flat + p["o"]["b"].astype(out_flat.dtype)
+        return out_flat
+
     if use_flash and mask is None:
         # head-major projection straight from the einsum: XLA fuses the
         # layout permutation into the matmul output, so the flash kernel

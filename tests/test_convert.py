@@ -234,3 +234,38 @@ def test_conv_transpose_matches_torch():
     out = conv_transpose2d(p, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), stride=4)
     np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.skipif(not available(), reason="reference repo not mounted")
+def test_modified_resnet_conversion_golden():
+    """CLIP ModifiedResNet tower (model.py:102-160) vs our NHWC rebuild."""
+    ref_model = load("src/third_party/openai_clip/model.py", "ref_openai_model")
+    torch.manual_seed(5)
+    m = ref_model.ModifiedResNet(layers=(1, 1, 1, 1), output_dim=32, heads=2,
+                                 input_resolution=64, width=16).float().eval()
+    # randomize BN affine + running stats so swaps/transpositions can't hide
+    for mod in m.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                mod.weight.uniform_(0.5, 1.5)
+                mod.bias.uniform_(-0.5, 0.5)
+                mod.running_mean.uniform_(-0.3, 0.3)
+                mod.running_var.uniform_(0.5, 1.5)
+    img = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        ref = m(img).numpy()
+
+    from nextgen_uia_tpu.models import clip_resnet as CR
+
+    cfg = CR.ModifiedResNetConfig(layers=(1, 1, 1, 1), output_dim=32, heads=2,
+                                  input_resolution=64, width=16)
+    flat_p, flat_s = C.convert_modified_resnet(m.state_dict(), layers=cfg.layers,
+                                               prefix="")
+    params, state = CR.modified_resnet_init(jax.random.key(0), cfg)
+    params, np_ = _unflatten_into(params, flat_p)
+    state, ns_ = _unflatten_into(state, flat_s)
+    assert np_ == len(flat_p) and ns_ == len(flat_s)
+
+    out = CR.modified_resnet_apply(params, state,
+                                   jnp.asarray(img.numpy().transpose(0, 2, 3, 1)), cfg)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-4)
