@@ -151,20 +151,28 @@ def block_apply(p, x, cfg: ViTConfig, *, dtype=None, rng=None,
     masked in attention, and MONA operates on the real prefix only.
     """
     if cfg.mlp_impl == "auto":
-        # frozen tower: hand mha the raw x + ln1 so the TPU path can fuse
-        # LN into the q/k/v projections (ops/fused_ln_qkv.py); mha applies
-        # the LN itself when the fused kernel is ineligible
-        a = mha(p["attn"], x, num_heads=cfg.heads, dtype=dtype,
-                lora_alpha=cfg.lora_alpha, key_padding_bias=key_bias,
-                ln=p["ln1"], ln_eps=cfg.ln_eps)
+        # frozen tower: hand mha the raw x + ln1 (+ the residual, when no
+        # LayerScale sits between branch and skip) so the TPU path can fuse
+        # LN into the q/k/v projections (ops/fused_ln_qkv.py) and the
+        # o-projection + residual add into the attention kernel
+        # (ops/fused_attn_o.py); mha falls back op-by-op when ineligible.
+        if "ls1" in p:  # DINOv2 LayerScale (dino/layers/layer_scale.py)
+            a = mha(p["attn"], x, num_heads=cfg.heads, dtype=dtype,
+                    lora_alpha=cfg.lora_alpha, key_padding_bias=key_bias,
+                    ln=p["ln1"], ln_eps=cfg.ln_eps)
+            x = x + a * p["ls1"].astype(a.dtype)
+        else:
+            x = mha(p["attn"], x, num_heads=cfg.heads, dtype=dtype,
+                    lora_alpha=cfg.lora_alpha, key_padding_bias=key_bias,
+                    ln=p["ln1"], ln_eps=cfg.ln_eps, residual=x)
     else:
         # full fine-tuning differentiates LN weights — keep LN in XLA
         a = mha(p["attn"], layernorm(p["ln1"], x, eps=cfg.ln_eps),
                 num_heads=cfg.heads, dtype=dtype, lora_alpha=cfg.lora_alpha,
                 key_padding_bias=key_bias)
-    if "ls1" in p:  # DINOv2 LayerScale (dino/layers/layer_scale.py)
-        a = a * p["ls1"].astype(a.dtype)
-    x = x + a
+        if "ls1" in p:
+            a = a * p["ls1"].astype(a.dtype)
+        x = x + a
     use_fused_ln_mlp = (cfg.mlp_impl == "auto" and "ls2" not in p
                         and "w12" not in p["mlp"]
                         and jax.default_backend() == "tpu")

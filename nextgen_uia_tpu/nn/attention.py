@@ -29,6 +29,12 @@ def _fused_qkv_enabled() -> bool:
     return os.environ.get("NEXTGEN_UIA_FUSED_QKV", "1") != "0"
 
 
+def _fused_attn_o_enabled() -> bool:
+    import os
+
+    return os.environ.get("NEXTGEN_UIA_FUSED_ATTN_O", "1") != "0"
+
+
 def attention_init(rng, dim: int, *, bias: bool = True):
     ks = jax.random.split(rng, 4)
     return {
@@ -51,7 +57,7 @@ def _proj_with_lora(p, lora, name, x, *, dtype, lora_scale):
 
 def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
         key_padding_bias=None, dtype=None, lora_alpha: float | None = None,
-        impl: str = "auto", ln=None, ln_eps: float = 1e-5):
+        impl: str = "auto", ln=None, ln_eps: float = 1e-5, residual=None):
     """Self-attention over [B, N, D].
 
     mask: optional generic additive mask broadcastable to [B, H, N, N]
@@ -64,6 +70,9 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
       into the q/k/v projection kernel on the frozen-tower TPU path
       (ops/fused_ln_qkv.py); otherwise it is applied here before projecting.
       Callers that need LN fusion pass raw x + ln instead of layernorm(x).
+    residual: optional skip tensor. When given, the return value is
+      residual + attention output (fused into the o-projection kernel on the
+      frozen-tower TPU path, ops/fused_attn_o.py; added here otherwise).
     LoRA scaling follows the reference: alpha / sqrt(r) (lora.py:21).
     """
     b, n, d = x.shape
@@ -99,7 +108,7 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
         out = fused_attn_block(xx, p, heads=num_heads,
                                bias=key_padding_bias, causal=causal)
         if out is not None:
-            return out
+            return out if residual is None else residual + out
     if impl == "hybrid_block" and mask is None and lora is None:
         # einsum+flash forward with an all-in-one fused backward (dx direct).
         # Measured slower than letting XLA back-project dq/dk/dv on v5e
@@ -110,11 +119,19 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
         out = hybrid_attn_block(xx, p, heads=num_heads,
                                 bias=key_padding_bias, causal=causal)
         if out is not None:
-            return out
+            return out if residual is None else residual + out
     if qkv_fused is not None:
+        q, k, v = qkv_fused
+        if residual is not None and _fused_attn_o_enabled():
+            from ..ops.fused_attn_o import fused_attn_o_residual
+
+            rr = residual if dtype is None else residual.astype(dtype)
+            out = fused_attn_o_residual(q, k, v, rr, p["o"], heads=num_heads,
+                                        bias=key_padding_bias, causal=causal)
+            if out is not None:
+                return out
         from ..ops.flash_attention import flash_attention
 
-        q, k, v = qkv_fused
         out = flash_attention(q, k, v, bias=key_padding_bias, causal=causal,
                               layout="bhnd", bias_grad=False)
         wo = p["o"]["w"]
@@ -124,7 +141,7 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
                               wo.reshape(num_heads, head_dim, d))
         if "b" in p["o"]:
             out_flat = out_flat + p["o"]["b"].astype(out_flat.dtype)
-        return out_flat
+        return out_flat if residual is None else residual + out_flat
 
     if use_flash and mask is None:
         # head-major projection straight from the einsum: XLA fuses the
@@ -190,7 +207,7 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
             la = lora["o"]
             out_flat = out_flat + ((xo @ la["a"].astype(xo.dtype))
                                    @ la["b"].astype(xo.dtype)) * lora_scale
-        return out_flat
+        return out_flat if residual is None else residual + out_flat
 
     q = _proj_with_lora(p, lora, "q", x, dtype=dtype, lora_scale=lora_scale)
     k = _proj_with_lora(p, lora, "k", x, dtype=dtype, lora_scale=lora_scale)
@@ -213,7 +230,8 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
     out = out.reshape(b, n, d)
-    return _proj_with_lora(p, lora, "o", out, dtype=dtype, lora_scale=lora_scale)
+    out = _proj_with_lora(p, lora, "o", out, dtype=dtype, lora_scale=lora_scale)
+    return out if residual is None else residual + out
 
 
 def causal_mask(n: int, dtype=jnp.float32):

@@ -1,0 +1,218 @@
+"""Fused attention + o-projection + residual Pallas kernel (frozen Wo).
+
+Consumes the head-major q/k/v the LN+QKV kernel (ops/fused_ln_qkv.py) emits
+and finishes the whole attention sublayer in one grid cell per image:
+per-head-group softmax(qk)v (scores never leave VMEM, same math as
+ops/flash_attention.py), lane-concat of the head outputs back to [N, D], one
+full-width [N, D] x [D, D] o-projection, residual add. Versus the unfused
+tail (flash writes [B, H, N, dh] to HBM, the o-proj einsum reads it back,
+the residual reads x again) this saves the attention-output round trip and
+runs the o-proj at full MXU lane width.
+
+Backward (custom VJP, frozen Wo — adapter fine-tuning): recomputes the
+probs from q/k/v, back-projects g through Wo with one wide matmul, lane-
+slices per head for the attention backward, and emits head-major dq/dk/dv
+directly (which the LN+QKV backward consumes). d(residual x) = g exactly, so
+no extra kernel output is needed. Wo/bo grads are structural zeros; full
+fine-tuning routes through the XLA path (same mlp_impl='xla' gate as the
+other frozen-weight kernels — models/vit.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_mlp import _tile8
+
+NEG_INF = -1e30
+
+
+def _group_probs(q, k, bias_row, *, scale, n_real, causal):
+    """[G, N, dh] x [G, N, dh] -> softmax probs [G, N, N] (f32)."""
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(col >= n_real, NEG_INF, s)
+    if bias_row is not None:
+        s = s + bias_row[None, None, :]
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col > row, NEG_INF, s)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, bias_ref, o_ref,
+                *, heads, g_size, scale, n_real, causal):
+    n, d = x_ref.shape[1], x_ref.shape[2]
+    hd = d // heads
+    bias_row = bias_ref[0, 0] if bias_ref is not None else None
+    outs = []
+    for gi in range(heads // g_size):
+        q = q_ref[0, gi * g_size:(gi + 1) * g_size]
+        k = k_ref[0, gi * g_size:(gi + 1) * g_size]
+        v = v_ref[0, gi * g_size:(gi + 1) * g_size]
+        p = _group_probs(q, k, bias_row, scale=scale, n_real=n_real,
+                         causal=causal)
+        oh = jax.lax.dot_general(p.astype(v.dtype), v,
+                                 (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        # [G, N, hd] -> G lane-slices of the concat target
+        outs.extend(oh[i].astype(x_ref.dtype) for i in range(g_size))
+    cat = jnp.concatenate(outs, axis=-1)              # [N, D]
+    y = jax.lax.dot(cat, wo_ref[...], preferred_element_type=jnp.float32)
+    y = y + bo_ref[0].astype(jnp.float32)[None, :]
+    o_ref[0] = (y + x_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, wo_ref, bias_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, *, heads, g_size, scale, n_real,
+                causal):
+    n, d = g_ref.shape[1], g_ref.shape[2]
+    hd = d // heads
+    bias_row = bias_ref[0, 0] if bias_ref is not None else None
+    g = g_ref[0]
+    # back through the o-projection with ONE wide matmul, then lane-slice
+    doh_flat = jax.lax.dot_general(g.astype(q_ref.dtype), wo_ref[...],
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    for gi in range(heads // g_size):
+        q = q_ref[0, gi * g_size:(gi + 1) * g_size]
+        k = k_ref[0, gi * g_size:(gi + 1) * g_size]
+        v = v_ref[0, gi * g_size:(gi + 1) * g_size]
+        p = _group_probs(q, k, bias_row, scale=scale, n_real=n_real,
+                         causal=causal)
+        doh = jnp.stack([
+            doh_flat[:, (gi * g_size + i) * hd:(gi * g_size + i + 1) * hd]
+            for i in range(g_size)]).astype(q.dtype)   # [G, N, hd]
+        dv = jax.lax.dot_general(p.astype(q.dtype), doh,
+                                 (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(doh, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+              ).astype(q.dtype)
+        dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        sl = slice(gi * g_size, (gi + 1) * g_size)
+        dq_ref[0, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, sl] = dv.astype(dv_ref.dtype)
+
+
+def _head_spec(h, n, hd):
+    return pl.BlockSpec((1, h, n, hd), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _row_spec(n, d):
+    return pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _bias_spec(n):
+    return pl.BlockSpec((1, 8, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _g_size(heads: int) -> int:
+    for g in (4, 3, 2, 1):
+        if heads % g == 0:
+            return g
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _fused(q, k, v, x, wo, bo, bias, heads, n_real, causal):
+    return _fwd_impl(q, k, v, x, wo, bo, bias, heads, n_real, causal)
+
+
+def _fwd_impl(q, k, v, x, wo, bo, bias, heads, n_real, causal):
+    b, h, n, hd = q.shape
+    d = h * hd
+    gs = _g_size(heads)
+    scale = 1.0 / (hd ** 0.5)
+    in_specs = [_head_spec(h, n, hd)] * 3 + [_row_spec(n, d),
+                pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, d), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+    args = [q, k, v, x, wo, _tile8(bo)]
+    if bias is not None:
+        in_specs.append(_bias_spec(n))
+        args.append(jnp.broadcast_to(bias.astype(jnp.float32)[:, None, :],
+                                     (b, 8, n)))
+        kernel = functools.partial(_fwd_kernel, heads=heads, g_size=gs,
+                                   scale=scale, n_real=n_real, causal=causal)
+    else:
+        def kernel(qr, kr, vr, xr, wor, bor, orf):
+            _fwd_kernel(qr, kr, vr, xr, wor, bor, None, orf, heads=heads,
+                        g_size=gs, scale=scale, n_real=n_real, causal=causal)
+    return pl.pallas_call(
+        kernel, grid=(b,), in_specs=in_specs, out_specs=_row_spec(n, d),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+
+
+def _fwd_rule(q, k, v, x, wo, bo, bias, heads, n_real, causal):
+    out = _fwd_impl(q, k, v, x, wo, bo, bias, heads, n_real, causal)
+    return out, (q, k, v, wo, bo, bias)
+
+
+def _bwd_rule(heads, n_real, causal, res, g):
+    q, k, v, wo, bo, bias = res
+    b, h, n, hd = q.shape
+    d = h * hd
+    gs = _g_size(heads)
+    scale = 1.0 / (hd ** 0.5)
+    in_specs = [_head_spec(h, n, hd)] * 3 + [
+        pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+    args = [q, k, v, wo]
+    if bias is not None:
+        in_specs.append(_bias_spec(n))
+        args.append(jnp.broadcast_to(bias.astype(jnp.float32)[:, None, :],
+                                     (b, 8, n)))
+        kernel = functools.partial(_bwd_kernel, heads=heads, g_size=gs,
+                                   scale=scale, n_real=n_real, causal=causal)
+    else:
+        def kernel(qr, kr, vr, wor, gr, dqr, dkr, dvr):
+            _bwd_kernel(qr, kr, vr, wor, None, gr, dqr, dkr, dvr, heads=heads,
+                        g_size=gs, scale=scale, n_real=n_real, causal=causal)
+    in_specs.append(_row_spec(n, d))
+    args.append(g)
+    hs = _head_spec(h, n, hd)
+    dq, dk, dv = pl.pallas_call(
+        kernel, grid=(b,), in_specs=in_specs, out_specs=(hs,) * 3,
+        out_shape=(jax.ShapeDtypeStruct((b, h, n, hd), q.dtype),) * 3,
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+    dbias = jnp.zeros_like(bias) if bias is not None else None
+    # residual: d(x) = g exactly; frozen Wo/bo get structural zeros
+    return (dq, dk, dv, g, jnp.zeros_like(wo), jnp.zeros_like(bo), dbias)
+
+
+_fused.defvjp(_fwd_rule, _bwd_rule)
+
+
+def fused_attn_o_residual(q, k, v, x, o_params, *, heads: int, bias=None,
+                          n_real: int | None = None, causal: bool = False):
+    """(q,k,v [B,H,N,dh], x [B,N,D]) -> x + Wo(attention(q,k,v)) + bo.
+
+    Frozen-Wo contract (see module docstring). bias: optional additive [B, N]
+    key-padding mask (constant — no dbias). n_real: number of real (unpadded)
+    keys; defaults to N. Returns None when ineligible.
+    """
+    b, h, n, hd = q.shape
+    d = h * hd
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    if n % sub or d % 128 or "b" not in o_params:
+        return None
+    return _fused(q, k, v, x,
+                  o_params["w"].astype(x.dtype),
+                  o_params["b"].astype(jnp.float32),
+                  bias, heads, n_real if n_real is not None else n, causal)

@@ -75,3 +75,42 @@ def test_mha_ln_path_matches_explicit_ln():
     a = mha(attn, x, num_heads=HEADS, ln=ln, ln_eps=1e-5)
     b = mha(attn, layernorm(ln, x, eps=1e-5), num_heads=HEADS)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
+
+
+def test_fused_attn_o_residual_parity():
+    """fused_attn_o_residual == flash-equivalent einsum chain (fwd + grads)."""
+    from nextgen_uia_tpu.ops.fused_attn_o import fused_attn_o_residual
+
+    ks = jax.random.split(jax.random.key(9), 5)
+    q = jax.random.normal(ks[0], (B, HEADS, N, D // HEADS)) * 0.5
+    k = jax.random.normal(ks[1], (B, HEADS, N, D // HEADS)) * 0.5
+    v = jax.random.normal(ks[2], (B, HEADS, N, D // HEADS)) * 0.5
+    x = jax.random.normal(ks[3], (B, N, D)) * 0.7
+    o = {"w": jax.random.normal(ks[4], (D, D)) * 0.05,
+         "b": jnp.linspace(-0.1, 0.1, D)}
+    bias = jnp.zeros((B, N)).at[:, -5:].set(-1e9)  # padded-key mask
+
+    def ref(q, k, v, x):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(D / HEADS)
+        s = s + bias[:, None, None, :]
+        p = jax.nn.softmax(s, axis=-1)
+        oh = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        flat = jnp.einsum("bhne,hed->bnd", oh, o["w"].reshape(HEADS, D // HEADS, D))
+        return x + flat + o["b"]
+
+    out = fused_attn_o_residual(q, k, v, x, o, heads=HEADS, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(q, k, v, x)),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_f(q, k, v, x):
+        return jnp.sum(fused_attn_o_residual(q, k, v, x, o, heads=HEADS,
+                                             bias=bias) ** 2)
+
+    def loss_r(q, k, v, x):
+        return jnp.sum(ref(q, k, v, x) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2, 3))(q, k, v, x)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(q, k, v, x)
+    for a, b_, name in zip(gf, gr, ("dq", "dk", "dv", "dx")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-3, rtol=1e-3, err_msg=name)
