@@ -216,6 +216,26 @@ def mona_apply(p, x, hw, *, variant: str, rng=None, dropout_rate: float = 0.1):
     per-block slice+concat copies of re-packing to the real length)."""
     b, n, d = x.shape
     h, w = hw
+
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("NEXTGEN_UIA_FUSED_MONA", "0") == "1"):
+        # whole-adapter Pallas kernel (ops/fused_mona.py): identical math,
+        # identical dropout stream (the mask is drawn here with the exact
+        # jax.random call nn/layers.dropout would make). OPT-IN: measured
+        # SLOWER than this composed path on v5e (PERF.md — the serial
+        # per-cell stencil + projection chain loses to mona_spatial +
+        # XLA-fused glue); kept for future iteration and as the reference
+        # for the full-gradient kernel pattern.
+        from ..ops.fused_mona import mona_block_fused
+
+        mask = None
+        if rng is not None and dropout_rate > 0.0:
+            c_bn = p["down"]["w"].shape[1]
+            keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, (b, n, c_bn))
+            mask = keep.astype(jnp.float32) / (1.0 - dropout_rate)
+        out = mona_block_fused(p, x, hw, variant=variant, mask=mask)
+        if out is not None:
+            return out
     z = layernorm(p["norm"], x) * p["gamma"].astype(x.dtype) + x * p["gammax"].astype(x.dtype)
     z = linear(p["down"], z, dtype=x.dtype)  # [B, N, c]
     c = z.shape[-1]

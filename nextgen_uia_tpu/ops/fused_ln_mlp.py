@@ -128,12 +128,18 @@ def _bwd_rule(act, eps, res, g):
     tm, n_hc = _tiles(m, hidden)
     hc_size = hidden // n_hc
     row, vec_d, vec_h, w1s, w2s = _specs(tm, d, hidden)
+    # the backward's transients (dz accumulator, dpre) on top of the resident
+    # w1+w2 sit ~120 KB over Mosaic's default 16 MB scoped-vmem cap when
+    # neighboring layouts shift — raise the cap rather than shrink the row
+    # tile (tm=64 measured ~1% slower end-to-end; v5e has headroom)
     dx = pl.pallas_call(
         functools.partial(_bwd_kernel, act=act, n_hc=n_hc, hc_size=hc_size, eps=eps),
         grid=(m // tm,),
         in_specs=[row, vec_d, vec_d, w1s, vec_h, w2s, row],
         out_specs=row,
         out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(x, _tile8(gamma), _tile8(beta), w1, _tile8(b1), w2, g.astype(x.dtype))
     zeros = jax.tree_util.tree_map(jnp.zeros_like, (gamma, beta, w1, b1, w2, b2))
