@@ -67,8 +67,16 @@ def _text_block(p, x, cfg: ViTConfig, *, dtype=None):
     from ..nn.attention import mha
     from .vit import run_mlp
 
-    x = x + mha(p["attn"], layernorm(p["ln1"], x, eps=cfg.ln_eps),
-                num_heads=cfg.heads, causal=True, dtype=dtype)
+    if cfg.mlp_impl == "auto":
+        # frozen tower: raw x + ln1 + residual lets the TPU path fuse LN
+        # into q/k/v and the o-proj + skip add into the attention kernel;
+        # at 77 tokens the LN+QKV kernel declines (sublane tiling) and mha
+        # falls back op-by-op with identical math
+        x = mha(p["attn"], x, num_heads=cfg.heads, causal=True, dtype=dtype,
+                ln=p["ln1"], ln_eps=cfg.ln_eps, residual=x)
+    else:
+        x = x + mha(p["attn"], layernorm(p["ln1"], x, eps=cfg.ln_eps),
+                    num_heads=cfg.heads, causal=True, dtype=dtype)
     x = x + run_mlp(p["mlp"], layernorm(p["ln2"], x, eps=cfg.ln_eps),
                     cfg.act, cfg.mlp_impl, dtype=dtype)
     return x

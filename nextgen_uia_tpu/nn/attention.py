@@ -191,6 +191,18 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
                 q, k, v = outs
         else:
             q, k, v = proj_bhnd("q"), proj_bhnd("k"), proj_bhnd("v")
+        if residual is not None and lora is None and _fused_attn_o_enabled():
+            # post-norm towers (BERT) reach here with residual but no ln:
+            # the attention+o-proj+residual kernel applies all the same
+            from ..ops.fused_attn_o import fused_attn_o_residual
+
+            rr = residual if dtype is None else residual.astype(dtype)
+            fused_out = fused_attn_o_residual(q, k, v, rr, p["o"],
+                                              heads=num_heads,
+                                              bias=key_padding_bias,
+                                              causal=causal)
+            if fused_out is not None:
+                return fused_out
         # key_padding_bias here is always a constant mask (BERT padding /
         # once-padded ViT tokens) — skip the dbias accumulation in backward
         out = flash_attention(q, k, v, bias=key_padding_bias, causal=causal,
