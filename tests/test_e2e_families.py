@@ -168,3 +168,22 @@ def test_finetune_text_cache_matches_uncached(ftdata):
     cached = main(_ft_args(csv, img_dir, "ftc", []))
     assert abs(uncached["best_val_loss"] - cached["best_val_loss"]) < 5e-3, \
         (uncached, cached)
+
+
+def test_metaclip_zero_shot_e2e(synth):
+    """MetaCLIP family engine path (OpenAI-layout tower, quick-gelu)."""
+    from nextgen_uia_tpu.tasks.metaclip.zero_shot import main
+
+    stats = main(["--dataset", "BUSI", "--data_root", synth, "--exp", "mczs"]
+                 + TINY)
+    assert {"acc", "auc"} <= set(stats)
+
+
+def test_unimedclip_supervised_classification_e2e(synth):
+    """UniMedCLIP family engine path (visual-only tower + BiomedBERT@77)."""
+    from nextgen_uia_tpu.tasks.unimedclip.classification import main
+
+    stats = main(["--dataset", "BUSI", "--data_root", synth, "--exp", "uccls",
+                  "--epochs", "2", "--val_interval", "2", "--patience", "3"]
+                 + TINY)
+    assert "acc" in stats
