@@ -230,9 +230,10 @@ def mona_apply(p, x, hw, *, variant: str, rng=None, dropout_rate: float = 0.1):
 
         mask = None
         if rng is not None and dropout_rate > 0.0:
+            from ..nn.layers import dropout_mask
+
             c_bn = p["down"]["w"].shape[1]
-            keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, (b, n, c_bn))
-            mask = keep.astype(jnp.float32) / (1.0 - dropout_rate)
+            mask = dropout_mask(rng, dropout_rate, (b, n, c_bn))
         out = mona_block_fused(p, x, hw, variant=variant, mask=mask)
         if out is not None:
             return out

@@ -89,14 +89,21 @@ def bert_apply(p, cfg: BertConfig, token_ids, *, attention_mask=None, dtype=None
     from .vit import run_mlp
 
     for layer in p["layers"]:
-        # post-norm residual blocks (HF BERT layout); residual=x lets the
+        # post-norm residual blocks (HF BERT layout). residual=x lets the
         # TPU path fuse the o-projection + skip add into the attention
-        # kernel (ops/fused_attn_o.py)
-        x = layernorm(layer["attn_ln"],
-                      mha(layer["attn"], x, num_heads=cfg.heads,
-                          key_padding_bias=pad_bias, dtype=dtype,
-                          lora_alpha=cfg.lora_alpha, residual=x),
-                      eps=cfg.ln_eps)
+        # kernel (ops/fused_attn_o.py) — frozen-Wo contract, so it is gated
+        # on mlp_impl=='auto' exactly like the ViT/text blocks: full
+        # fine-tuning (--tune_text_encoder, mlp_impl='xla') must keep the
+        # o-projection differentiable (the fused kernel returns dWo = 0)
+        if cfg.mlp_impl == "auto":
+            a_sum = mha(layer["attn"], x, num_heads=cfg.heads,
+                        key_padding_bias=pad_bias, dtype=dtype,
+                        lora_alpha=cfg.lora_alpha, residual=x)
+        else:
+            a_sum = x + mha(layer["attn"], x, num_heads=cfg.heads,
+                            key_padding_bias=pad_bias, dtype=dtype,
+                            lora_alpha=cfg.lora_alpha)
+        x = layernorm(layer["attn_ln"], a_sum, eps=cfg.ln_eps)
         h = run_mlp(layer["ffn"], x, "gelu", cfg.mlp_impl, dtype=dtype)
         x = layernorm(layer["ffn_ln"], x + h, eps=cfg.ln_eps)
 

@@ -73,6 +73,9 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
     residual: optional skip tensor. When given, the return value is
       residual + attention output (fused into the o-projection kernel on the
       frozen-tower TPU path, ops/fused_attn_o.py; added here otherwise).
+      FROZEN-Wo contract: the fused kernel returns structural-zero Wo/bo
+      grads, so callers must pass residual ONLY when the o-projection does
+      not train (models gate this on their mlp_impl == 'auto').
     LoRA scaling follows the reference: alpha / sqrt(r) (lora.py:21).
     """
     b, n, d = x.shape

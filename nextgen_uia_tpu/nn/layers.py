@@ -191,12 +191,18 @@ def batchnorm(p, state, x, *, train: bool, momentum: float = 0.1, eps: float = 1
 # ---------------------------------------------------------------------------
 
 
+def dropout_mask(rng, rate: float, shape):
+    """Pre-scaled dropout mask (0 or 1/keep) — the single place the dropout
+    random draw is defined, so masked-multiply consumers (e.g. the fused
+    MONA kernel) reproduce dropout()'s stream exactly."""
+    keep = 1.0 - rate
+    return jax.random.bernoulli(rng, keep, shape).astype(jnp.float32) / keep
+
+
 def dropout(rng, x, rate: float):
     if rng is None or rate <= 0.0:
         return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+    return (x * dropout_mask(rng, rate, x.shape)).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -23,15 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mlp import _act_fns, _tile8, _tiles
-
-
-def _ln_rows(x32, gamma, beta, eps):
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = (x32 - mean) * rstd
-    return xhat * gamma[None, :] + beta[None, :], xhat, rstd
+from .fused_mlp import _act_fns, _ln_rows, _tile8, _tiles
 
 
 def _fwd_kernel(x_ref, g_ref_, b_ref_, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,

@@ -30,15 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mlp import _tile8
-
-
-def _ln_rows(x32, gamma, beta, eps):
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = (x32 - mean) * rstd
-    return xhat * gamma[None, :] + beta[None, :], xhat, rstd
+from .fused_mlp import _ln_rows, _tile8
 
 
 def _fwd_kernel(x_ref, g_ref, b_ref, wq_ref, bq_ref, wk_ref, bk_ref,

@@ -134,6 +134,20 @@ def _fused_fwd_impl(x, w1, b1, w2, b2, act):
     )(x, w1, _tile8(b1), w2, _tile8(b2))
 
 
+def _ln_stats(x32, eps: float = 1e-5):
+    """Row-local LayerNorm statistics (f32): returns (xhat, rstd)."""
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    return (x32 - mean) * rstd, rstd
+
+
+def _ln_rows(x32, gamma, beta, eps: float = 1e-5):
+    """Row-local LayerNorm with affine: returns (y, xhat, rstd)."""
+    xhat, rstd = _ln_stats(x32, eps)
+    return xhat * gamma[None, :] + beta[None, :], xhat, rstd
+
+
 def _tile8(b):
     # min-tile (8, 128): ship 1-D bias as an 8-row broadcast
     return jnp.broadcast_to(b[None, :], (8, b.shape[0]))

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mlp import _act_fns
+from .fused_mlp import _act_fns, _ln_stats, _tile8
 
 K = 7
 HALO = K // 2
@@ -48,13 +48,6 @@ HALO = K // 2
 
 def _should_interpret() -> bool:
     return jax.default_backend() == "cpu"
-
-
-def _ln_stats(x32, eps=1e-5):
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
-    return (x32 - mean) * rstd, rstd
 
 
 def _forward_core(x32, sc, bi, ga, gx, dw, db, uw, ub, fr, tk, tb, pw, pb,
@@ -142,7 +135,7 @@ def _fwd_kernel(x_ref, m_ref, sc, bi, ga, gx, dw, db, uw, ub, fr, tk, tb,
     bc, n, d = x_ref.shape
     c = dw.shape[1]
     x32 = x_ref[...].astype(jnp.float32)
-    cdt = x_ref.dtype if x_ref.dtype != jnp.float32 else jnp.float32
+    cdt = x_ref.dtype
     iv = _forward_core(x32, sc, bi, ga, gx, dw, db, uw, ub, fr, tk, tb, pw,
                        pb, f1w, f1b, f2w, f2b, h=h, w=w, has_freq=has_freq,
                        has_noise=has_noise, cdt=cdt)
@@ -173,7 +166,7 @@ def _bwd_kernel(x_ref, m_ref, sc, bi, ga, gx, dw, db, uw, ub, fr, tk, tb,
     c = dw.shape[1]
     hw = h * w
     x32 = x_ref[...].astype(jnp.float32)
-    cdt = x_ref.dtype if x_ref.dtype != jnp.float32 else jnp.float32
+    cdt = x_ref.dtype
     iv = _forward_core(x32, sc, bi, ga, gx, dw, db, uw, ub, fr, tk, tb, pw,
                        pb, f1w, f1b, f2w, f2b, h=h, w=w, has_freq=has_freq,
                        has_noise=has_noise, cdt=cdt)
@@ -295,10 +288,6 @@ def _bwd_kernel(x_ref, m_ref, sc, bi, ga, gx, dw, db, uw, ub, fr, tk, tb,
 # ---------------------------------------------------------------------------
 # pallas_call plumbing
 # ---------------------------------------------------------------------------
-
-
-def _tile8(v):
-    return jnp.broadcast_to(v.astype(jnp.float32)[None, :], (8, v.shape[0]))
 
 
 def _const(shape):
@@ -463,8 +452,13 @@ def mona_block_fused(p, x, hw, *, variant: str, mask=None):
     sub = 16 if x.dtype == jnp.bfloat16 else 8
     if n < h * w + 1 or d % 128 or n % sub:
         return None
-    has_freq = "freq_filter" in p
-    has_noise = "noise_est" in p
+    # gate on the VARIANT (like the composed _mona_op), requiring the params
+    # it implies — presence of extra slots must not switch behavior
+    has_freq = variant in ("freq_enhanced", "hybrid")
+    has_noise = variant in ("noise_aware", "hybrid")
+    if (has_freq and "freq_filter" not in p) or \
+            (has_noise and "noise_est" not in p):
+        return None
     if mask is None:
         mask = jnp.ones((b, n, c), jnp.float32)
     return _mona_block(x, mask, p, (h, w, has_freq, has_noise))
