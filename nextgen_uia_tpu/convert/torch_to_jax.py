@@ -293,9 +293,11 @@ def convert_clipseg_decoder(sd, depth=3):
 # ---------------------------------------------------------------------------
 
 
-def convert_dinov2(sd, depth=12):
-    """DINOv2 pretrain checkpoint (vit_base_14). Keys may carry the reference
-    loader's remaps (dinov2.py:272-273) or be raw hub keys."""
+def convert_dinov2(sd, depth=None):
+    """DINOv2 pretrain checkpoint (any size variant). Keys may carry the
+    reference loader's remaps (dinov2.py:272-273) or be raw hub keys.
+    depth=None infers the block count from the state dict, so the CLI works
+    for vit_small/base/large/giant2 alike."""
     sd = _numpy_sd(sd)
     # normalize: strip 'encoder.'/'backbone.' prefixes, undo chunked-block
     # naming (BlockChunk pads with identities so the global index is the
@@ -310,6 +312,9 @@ def convert_dinov2(sd, depth=12):
         return _re.sub(r"^blocks\.\d+\.(\d+)\.", r"blocks.\1.", k)
 
     sd = {norm_key(k): v for k, v in sd.items()}
+    if depth is None:
+        depth = 1 + max(int(m.group(1)) for k in sd
+                        if (m := _re.match(r"blocks\.(\d+)\.", k)))
     tree = convert_timm_vit(sd, "", depth, layerscale=True)
     return _flat(tree)
 

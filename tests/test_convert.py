@@ -269,3 +269,22 @@ def test_modified_resnet_conversion_golden():
     out = CR.modified_resnet_apply(params, state,
                                    jnp.asarray(img.numpy().transpose(0, 2, 3, 1)), cfg)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.skipif(not available(), reason="reference repo not mounted")
+def test_convert_cli_roundtrip(tmp_path):
+    """The converter CLI surface: torch .pt state dict -> .npz archive."""
+    ref_vt = load_with_ref_src("src.third_party.dino.vision_transformer")
+    torch.manual_seed(7)
+    m = ref_vt.DinoVisionTransformer(img_size=28, patch_size=14, embed_dim=32,
+                                     depth=2, num_heads=4, mlp_ratio=2,
+                                     init_values=1e-5).float().eval()
+    src = tmp_path / "dino.pth"
+    torch.save(m.state_dict(), src)
+    dst = tmp_path / "dino.npz"
+    from nextgen_uia_tpu.convert.torch_to_jax import main as convert_main
+
+    convert_main(["dinov2", str(src), str(dst)])
+    flat = np.load(dst)
+    assert len(flat.files) > 10
+    assert any("patch" in k for k in flat.files)
