@@ -122,8 +122,15 @@ def _bias_spec(n):
 
 
 def _g_size(heads: int) -> int:
-    for g in (4, 3, 2, 1):
-        if heads % g == 0:
+    """Heads per grid-cell group. All heads at once measured fastest (one
+    batched dot_general chain per cell; probs for 12 heads at N=208 are
+    ~2 MB f32 — comfortably VMEM): G=12 1358.9 img/s vs G=6 1355.8 vs
+    G=4 1346.1 on the headline bench."""
+    import os
+
+    pref = int(os.environ.get("NEXTGEN_UIA_ATTNO_G", str(heads)))
+    for g in (pref, 4, 3, 2, 1):
+        if g >= 1 and heads % g == 0:
             return g
     return 1
 
