@@ -86,8 +86,13 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
         r = next(iter(lora.values()))["a"].shape[1]
         lora_scale = (lora_alpha if lora_alpha is not None else 1.0) / math.sqrt(r)
 
+    # the flash kernel holds per-head-group [Np, Np] f32 scores in VMEM — its
+    # design regime is N <= 512 (ops/flash_attention.py docstring). DINOv2 at
+    # 518 px runs 1370 tokens: route that through the einsum path, where XLA
+    # streams the score tensor through HBM like any long-sequence attention.
     use_flash = (impl == "flash" or
-                 (impl == "auto" and mask is None and jax.default_backend() == "tpu"))
+                 (impl == "auto" and mask is None and n <= 512
+                  and jax.default_backend() == "tpu"))
 
     qkv_fused = None
     if ln is not None:
