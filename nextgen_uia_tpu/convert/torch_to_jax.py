@@ -313,8 +313,14 @@ def convert_dinov2(sd, depth=None):
 
     sd = {norm_key(k): v for k, v in sd.items()}
     if depth is None:
-        depth = 1 + max(int(m.group(1)) for k in sd
-                        if (m := _re.match(r"blocks\.(\d+)\.", k)))
+        idxs = [int(m.group(1)) for k in sd
+                if (m := _re.match(r"blocks\.(\d+)\.", k))]
+        if not idxs:
+            raise ValueError(
+                "convert_dinov2: no 'blocks.<i>.*' keys found — this does "
+                "not look like a DINOv2 backbone state dict (got keys like "
+                f"{sorted(sd)[:3]}...)")
+        depth = 1 + max(idxs)
     tree = convert_timm_vit(sd, "", depth, layerscale=True)
     return _flat(tree)
 

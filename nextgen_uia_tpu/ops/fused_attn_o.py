@@ -121,16 +121,23 @@ def _bias_spec(n):
     return pl.BlockSpec((1, 8, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
 
-def _g_size(heads: int) -> int:
-    """Heads per grid-cell group. All heads at once measured fastest (one
-    batched dot_general chain per cell; probs for 12 heads at N=208 are
-    ~2 MB f32 — comfortably VMEM): G=12 1358.9 img/s vs G=6 1355.8 vs
-    G=4 1346.1 on the headline bench."""
+def _g_size(heads: int, n: int) -> int:
+    """Heads per grid-cell group. All heads at once measured fastest at the
+    N=208 headline shape (G=12 1358.9 img/s vs G=6 1355.8 vs G=4 1346.1),
+    but the backward holds ~4 score-sized [G, N, N] f32 tensors per cell, so
+    G is capped so those fit the (raised) VMEM budget at larger N. The env
+    override walks down to the nearest divisor; a non-integer value falls
+    back to the default rather than crashing at trace time."""
     import os
 
-    pref = int(os.environ.get("NEXTGEN_UIA_ATTNO_G", str(heads)))
-    for g in (pref, 4, 3, 2, 1):
-        if g >= 1 and heads % g == 0:
+    try:
+        pref = int(os.environ.get("NEXTGEN_UIA_ATTNO_G", str(heads)))
+    except ValueError:
+        pref = heads
+    budget = 4 * 1024 * 1024                    # per score-tensor, f32
+    cap = max(1, budget // max(n * n * 4, 1))
+    for g in range(min(pref, heads, cap), 0, -1):
+        if heads % g == 0:
             return g
     return 1
 
@@ -143,7 +150,7 @@ def _fused(q, k, v, x, wo, bo, bias, heads, n_real, causal):
 def _fwd_impl(q, k, v, x, wo, bo, bias, heads, n_real, causal):
     b, h, n, hd = q.shape
     d = h * hd
-    gs = _g_size(heads)
+    gs = _g_size(heads, n)
     scale = 1.0 / (hd ** 0.5)
     in_specs = [_head_spec(h, n, hd)] * 3 + [_row_spec(n, d),
                 pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -162,6 +169,8 @@ def _fwd_impl(q, k, v, x, wo, bo, bias, heads, n_real, causal):
     return pl.pallas_call(
         kernel, grid=(b,), in_specs=in_specs, out_specs=_row_spec(n, d),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(*args)
 
@@ -175,7 +184,7 @@ def _bwd_rule(heads, n_real, causal, res, g):
     q, k, v, wo, bo, bias = res
     b, h, n, hd = q.shape
     d = h * hd
-    gs = _g_size(heads)
+    gs = _g_size(heads, n)
     scale = 1.0 / (hd ** 0.5)
     in_specs = [_head_spec(h, n, hd)] * 3 + [
         pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM)]
@@ -196,6 +205,8 @@ def _bwd_rule(heads, n_real, causal, res, g):
     dq, dk, dv = pl.pallas_call(
         kernel, grid=(b,), in_specs=in_specs, out_specs=(hs,) * 3,
         out_shape=(jax.ShapeDtypeStruct((b, h, n, hd), q.dtype),) * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(*args)
     dbias = jnp.zeros_like(bias) if bias is not None else None

@@ -452,12 +452,15 @@ def mona_block_fused(p, x, hw, *, variant: str, mask=None):
     sub = 16 if x.dtype == jnp.bfloat16 else 8
     if n < h * w + 1 or d % 128 or n % sub:
         return None
-    # gate on the VARIANT (like the composed _mona_op), requiring the params
-    # it implies — presence of extra slots must not switch behavior
+    # gate on the VARIANT (variant-name sets mirror adapters.mona._HAS_FREQ/
+    # _HAS_NOISE — the caller, mona_apply, is the source of truth and passes
+    # consistent (params, variant) pairs). Any params/variant mismatch —
+    # missing slots the variant needs OR extra slots it doesn't — falls back
+    # to the composed path: the backward's cotangent tree must match p
+    # exactly, so extra slots would crash _unpack_grads.
     has_freq = variant in ("freq_enhanced", "hybrid")
     has_noise = variant in ("noise_aware", "hybrid")
-    if (has_freq and "freq_filter" not in p) or \
-            (has_noise and "noise_est" not in p):
+    if ("freq_filter" in p) != has_freq or ("noise_est" in p) != has_noise:
         return None
     if mask is None:
         mask = jnp.ones((b, n, c), jnp.float32)

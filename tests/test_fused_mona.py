@@ -75,3 +75,12 @@ def test_fused_mona_dropout_stream_matches():
 def test_fused_mona_ineligible_returns_none():
     p, x = _setup("hybrid")
     assert mona_block_fused(p, x[:, :10], (H, W), variant="hybrid") is None
+
+
+def test_variant_params_mismatch_falls_back():
+    """Inconsistent (params, variant) pairs must decline, not crash: the
+    backward's cotangent tree has to match p exactly."""
+    p, x = _setup("hybrid")  # hybrid params carry freq_filter + noise_est
+    assert mona_block_fused(p, x, (H, W), variant="baseline") is None
+    p2, _ = _setup("baseline")
+    assert mona_block_fused(p2, x, (H, W), variant="hybrid") is None
