@@ -1,5 +1,6 @@
 """Shape/dtype contracts and adapter-slot invariants for the model stack."""
 
+import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -248,3 +249,30 @@ def test_convert_dinov2_swiglu_roundtrip():
     np.testing.assert_allclose(
         np.asarray(loaded["blocks"][0]["mlp"]["w12"]["w"]),
         sd["blocks.0.mlp.w12.weight"].T)
+
+
+def test_bert_full_ft_never_passes_residual_to_mha(monkeypatch):
+    """Regression (review finding): with mlp_impl='xla' (full fine-tuning,
+    --tune_text_encoder) BERT must NOT route attention through the frozen-Wo
+    fused path — mha(residual=...) would silently zero dWo on TPU."""
+    import nextgen_uia_tpu.models.bert as B
+
+    calls = []
+    real_mha = B.mha
+
+    def spy(p, x, **kw):
+        calls.append(kw.get("residual") is not None)
+        return real_mha(p, x, **kw)
+
+    monkeypatch.setattr(B, "mha", spy)
+    cfg = B.BertConfig(vocab_size=64, width=32, depth=2, heads=4,
+                       embed_dim=16, max_positions=16, mlp_impl="xla")
+    p = B.bert_init(jax.random.key(0), cfg)
+    ids = jnp.ones((2, 8), jnp.int32)
+    B.bert_apply(p, cfg, ids)
+    assert calls and not any(calls), "full-FT BERT passed residual= to mha"
+
+    calls.clear()
+    cfg_auto = dataclasses.replace(cfg, mlp_impl="auto")
+    B.bert_apply(p, cfg_auto, ids)
+    assert calls and all(calls), "frozen BERT should use the residual fusion"
