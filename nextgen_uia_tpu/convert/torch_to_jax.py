@@ -369,16 +369,22 @@ def convert_resnet(sd, arch="resnet18"):
     return _flat(p), _flat(s)
 
 
-def convert_modified_resnet(sd, layers=(3, 4, 6, 3), prefix="visual."):
+def convert_modified_resnet(sd, layers=None, prefix="visual."):
     """CLIP ModifiedResNet tower -> (flat params, flat state).
 
     Layout: /root/reference/src/third_party/openai_clip/model.py
     (Bottleneck :10-59, AttentionPool2d :62-99, ModifiedResNet :102-160).
     ``prefix`` defaults to the tower's keys inside a full CLIP state dict;
-    pass "" for a standalone tower dict.
+    pass "" for a standalone tower dict. ``layers=None`` infers the stage
+    depths from the checkpoint keys (RN50 is (3,4,6,3)).
     """
     sd = _numpy_sd({k[len(prefix):]: v for k, v in sd.items()
                     if k.startswith(prefix)} if prefix else sd)
+    if layers is None:
+        layers = tuple(
+            1 + max(int(k.split(".")[1]) for k in sd
+                    if k.startswith(f"layer{st}."))
+            for st in (1, 2, 3, 4))
 
     def conv_bn(conv_name, bn_name):
         bp, bs = _bn(sd, bn_name)
@@ -431,8 +437,9 @@ def main(argv=None):
     import argparse
 
     ap = argparse.ArgumentParser("nextgen_uia_tpu.convert")
-    ap.add_argument("kind", choices=list(CONVERTERS) + ["resnet18", "resnet34",
-                                                        "resnet50", "resnet101", "resnet152"])
+    ap.add_argument("kind", choices=list(CONVERTERS) + [
+        "modified_resnet", "resnet18", "resnet34",
+        "resnet50", "resnet101", "resnet152"])
     ap.add_argument("src", help=".pt/.pth/.bin state dict or torch.jit archive")
     ap.add_argument("dst", help="output .npz")
     args = ap.parse_args(argv)
@@ -453,6 +460,10 @@ def main(argv=None):
 
     if args.kind.startswith("resnet"):
         flat, state = convert_resnet(sd, args.kind)
+        flat.update({f"__state__/{k}": v for k, v in state.items()})
+    elif args.kind == "modified_resnet":
+        prefix = "visual." if any(k.startswith("visual.") for k in sd) else ""
+        flat, state = convert_modified_resnet(sd, prefix=prefix)
         flat.update({f"__state__/{k}": v for k, v in state.items()})
     else:
         flat = CONVERTERS[args.kind](sd)

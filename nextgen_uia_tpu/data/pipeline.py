@@ -38,6 +38,13 @@ def batches(dataset, batch_size: int, *, shuffle: bool, drop_last: bool,
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
     limit = (n // batch_size) * batch_size if drop_last else n
+    if workers <= 0:  # synchronous load (reference num_workers=0 semantics)
+        for start in range(0, limit, batch_size):
+            idxs = order[start:start + batch_size]
+            if len(idxs) == 0:
+                break
+            yield collate([dataset[i] for i in idxs])
+        return
     with ThreadPoolExecutor(max_workers=workers) as pool:
         for start in range(0, limit, batch_size):
             idxs = order[start:start + batch_size]

@@ -120,8 +120,9 @@ def _attnpool(p, x, heads: int):
     q = linear(p["q"], x[:, :1]).reshape(b, 1, heads, hd)
     k = linear(p["k"], x).reshape(b, n + 1, heads, hd)
     v = linear(p["v"], x).reshape(b, n + 1, heads, hd)
-    att = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
-    att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(x.dtype)
+    att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                     preferred_element_type=jnp.float32) * (hd ** -0.5)
+    att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
     pooled = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, 1, d)
     return linear(p["c"], pooled)[:, 0]  # [B, output_dim]
 

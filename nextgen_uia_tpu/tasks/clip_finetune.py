@@ -49,6 +49,10 @@ def _finetune_parser(family: str):
     p.add_argument("--beta2_adam", type=float, default=0.95)
     p.add_argument("--accumulation_steps", type=int, default=4)
     p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--uniformity_weight", type=float, default=0,
+                   help="accepted for reference CLI parity; the reference "
+                        "declares this flag but never consumes it "
+                        "(metaclip/finetune.py:49 — no other reference)")
     p.add_argument("--finetune_csvs", type=str, nargs="*", default=None,
                    help="caption CSVs (default: MedPix + PMC-CURD under data_root)")
     p.add_argument("--finetune_img_dirs", type=str, nargs="*", default=None)
@@ -343,25 +347,26 @@ def finetune_main(family: str, argv=None):
 # ---------------------------------------------------------------------------
 
 
-def retrieval_metrics(sim: np.ndarray):
+def retrieval_metrics(sim: np.ndarray, k_values=(1, 2, 5, 10)):
     """sim [N_img, N_txt] with ground-truth on the diagonal. Returns I2T and
-    T2I Recall@{1,5,10}, MedR, MeanR and rSum (retrieval.py:229-248 names)."""
+    T2I Recall@K for each K in ``k_values`` (reference default [1,2,5,10] —
+    retrieval.py:84-91), MedR, MeanR and rSum = sum of all 2·len(K) recalls
+    (retrieval.py:229-248 names)."""
+    k_values = tuple(int(k) for k in k_values)
+
     def directed(s):
         order = np.argsort(-s, axis=1)
         ranks = np.empty(s.shape[0])
         for i in range(s.shape[0]):
             ranks[i] = np.nonzero(order[i] == i)[0][0]
-        return {
-            "r1": float(np.mean(ranks < 1) * 100),
-            "r5": float(np.mean(ranks < 5) * 100),
-            "r10": float(np.mean(ranks < 10) * 100),
-            "medr": float(np.median(ranks) + 1),
-            "meanr": float(np.mean(ranks) + 1),
-        }
+        out = {f"r{k}": float(np.mean(ranks < k) * 100) for k in k_values}
+        out["medr"] = float(np.median(ranks) + 1)
+        out["meanr"] = float(np.mean(ranks) + 1)
+        return out
 
     i2t = directed(sim)
     t2i = directed(sim.T)
-    rsum = sum(i2t[k] for k in ("r1", "r5", "r10")) + sum(t2i[k] for k in ("r1", "r5", "r10"))
+    rsum = sum(i2t[f"r{k}"] for k in k_values) + sum(t2i[f"r{k}"] for k in k_values)
     return {"i2t": i2t, "t2i": t2i, "rsum": rsum}
 
 
@@ -372,6 +377,23 @@ def retrieval_main(family: str, argv=None):
     p.add_argument("--img_dir", type=str, default=None)
     p.add_argument("--caption_key", type=str, default="Caption")
     p.add_argument("--img_key", type=str, default="filename")
+    p.add_argument("--k_values", type=int, nargs="+", default=[1, 2, 5, 10],
+                   help="K values for Recall@K metrics (retrieval.py:84-91)")
+    # reference retrieval.py CLI-parity flags (:40-110)
+    p.add_argument("--model_name", type=str, default=None,
+                   help="accepted for parity; the family fixes the model")
+    p.add_argument("--split", type=str, default="test",
+                   help="accepted for parity; the CSV given via --csv IS the "
+                        "evaluated split (no HF dataset cache offline)")
+    p.add_argument("--cache_dir", type=str, default=None,
+                   help="accepted for parity; unused (no HF dataset download)")
+    p.add_argument("--output_dir", type=str, default=None,
+                   help="base directory for the rSum-stamped results folder "
+                        "(default: the run path)")
+    p.add_argument("--max_samples", type=int, default=None,
+                   help="cap the number of evaluated pairs (retrieval.py:77-81)")
+    p.add_argument("--save_features", default=False, action="store_true",
+                   help="also save encoded image/text features as features.npz")
     args = p.parse_args(argv)
     rng = seed_everything(args.seed)
     run_path = setup_run(args, "test")
@@ -389,6 +411,8 @@ def retrieval_main(family: str, argv=None):
         path = os.path.join(args.img_dir or ".", os.path.basename(str(r[args.img_key])))
         if os.path.exists(path):
             rows.append((path, D.clean_caption(r[args.caption_key])))
+    if args.max_samples is not None:
+        rows = rows[: args.max_samples]
     ds = D.FinetuneDataset(rows, args.img_size)
     logging.info(f"Retrieval set: {len(ds)} pairs")
 
@@ -409,11 +433,17 @@ def retrieval_main(family: str, argv=None):
         all_img.append(np.asarray(fi))
         all_txt.append(np.asarray(ft))
 
-    sim = np.concatenate(all_img) @ np.concatenate(all_txt).T
-    m = retrieval_metrics(sim)
+    img_feats, txt_feats = np.concatenate(all_img), np.concatenate(all_txt)
+    sim = img_feats @ txt_feats.T
+    m = retrieval_metrics(sim, k_values=args.k_values)
     flat = {f"i2t_{k}": v for k, v in m["i2t"].items()}
     flat.update({f"t2i_{k}": v for k, v in m["t2i"].items()})
     flat["rsum"] = m["rsum"]
     logging.info("  ".join(f"{k}={v:.2f}" for k, v in flat.items()))
-    save_results_csv(flat, os.path.join(run_path, "results.csv"), scale100=())
+    out_dir = args.output_dir or run_path
+    os.makedirs(out_dir, exist_ok=True)
+    save_results_csv(flat, os.path.join(out_dir, "results.csv"), scale100=())
+    if args.save_features:  # retrieval.py --save_features semantics
+        np.savez(os.path.join(out_dir, "features.npz"),
+                 image_features=img_feats, text_features=txt_feats)
     return flat

@@ -29,8 +29,7 @@ import numpy as np
 
 from ..core import checkpoint as ckpt
 from ..core import train as T
-from ..core.experiment import (archive_log, backup_folder, model_summary,
-                               save_results_csv)
+from ..core.experiment import model_summary
 from ..core.partition import by_keywords
 from ..data import datasets as D
 from ..data import pipeline as P
@@ -39,7 +38,6 @@ from ..losses import cross_entropy
 from ..metrics.segmentation import ClsAccumulator
 from ..models import clip as clip_mod
 from ..models.heads import PyramidHeadConfig, pyramid_head_apply, pyramid_head_init
-from ..utils.viz import plot_roc
 from . import prompts as PR
 from .common import (base_parser, build_clip_model, get_text_tokenizer,
                      require_real_tokenizer, seed_everything, setup_run)
@@ -145,14 +143,11 @@ def cross_entropy_np(logits, labels):
 
 
 def _finish_cls(args, acc, stats, run_path, fig_name):
-    logits, labels = acc.all()
-    df_stats = {k: stats[k] for k in ("acc", "rec", "pre", "f1", "auc")}
-    logging.info("  ".join(f"{k}={v * 100:.2f}" for k, v in df_stats.items()))
-    folder = backup_folder(run_path, "acc", stats["acc"] * 100)
-    save_results_csv(df_stats, os.path.join(folder, "results.csv"))
-    plot_roc(logits, labels, os.path.join(folder, f"{fig_name}.png"))
-    archive_log(run_path, folder)
-    return folder
+    # single implementation lives in tasks/supervised.py (results.csv format
+    # both engines must share); re-exported here for zero-shot callers
+    from .supervised import finish_cls
+
+    return finish_cls(args, acc, stats, run_path, fig_name)
 
 
 # ---------------------------------------------------------------------------
@@ -163,7 +158,8 @@ def _finish_cls(args, acc, stats, run_path, fig_name):
 def _build_supervised(args, family: str, task: str, rng):
     adapter = "lora" if args.lora_weights else ("mona" if args.mona_weights else None)
     cfg, backbone = build_clip_model(args, family, adapter=adapter, rng=rng)
-    hcfg = PyramidHeadConfig(feature_dim=cfg.vision.width, reduce_dim=512,
+    hcfg = PyramidHeadConfig(feature_dim=cfg.vision.width,
+                             reduce_dim=getattr(args, "reduce_dim", 512),
                              num_classes=args.num_classes, img_size=args.img_size,
                              task=task,
                              # OpenAI-family adapter uses the hidden cls head

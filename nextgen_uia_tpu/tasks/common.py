@@ -35,7 +35,9 @@ BIOMEDCLIP_HF = "microsoft/BiomedCLIP-PubMedBERT_256-vit_base_patch16_224"
 
 
 def base_parser(name: str, **defaults) -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(name)
+    # conflict_handler lets task drivers re-declare a compat flag with a
+    # task-specific default (e.g. clipseg --reduce_dim 64, baselines --version)
+    p = argparse.ArgumentParser(name, conflict_handler="resolve")
     p.add_argument("--exp", type=str, default=defaults.get("exp", name))
     p.add_argument("--dataset", type=str, default=defaults.get("dataset", "BUSI"))
     p.add_argument("--data_root", type=str,
@@ -70,6 +72,23 @@ def base_parser(name: str, **defaults) -> argparse.ArgumentParser:
     p.add_argument("--lora_alpha", type=int, default=32)
     p.add_argument("--lora_dropout", type=float, default=0.1)
     p.add_argument("--lora_layers", type=int, default=None)
+    # reference-compat flags (pinned by tests/test_flag_parity.py)
+    p.add_argument("--beta1", type=float, default=0.9,
+                   help="AdamW beta1 (classification.py:66)")
+    p.add_argument("--beta2", type=float, default=0.95,
+                   help="AdamW beta2 (classification.py:67 — supervised default)")
+    p.add_argument("--reduce_dim", type=int, default=512,
+                   help="pyramid-head reduce width (timm/clip_adapter.py:15)")
+    p.add_argument("--device", type=str, default=None,
+                   help="accepted for reference CLI parity; ignored (JAX owns "
+                        "device placement)")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="reference backbone checkpoint path; converted .npz "
+                        "is used as --backbone_ckpt, torch archives must go "
+                        "through nextgen_uia_tpu.convert first")
+    p.add_argument("--version", type=str, default=None,
+                   help="reference model version string (e.g. ViT-B/16); "
+                        "informational — each family pins its architecture")
     # TPU-native additions
     p.add_argument("--backbone_ckpt", type=str, default=None,
                    help="Converted backbone checkpoint (.npz from convert/)")
@@ -223,11 +242,32 @@ def require_real_tokenizer(args, tokenizer, what: str):
         "or set NEXTGEN_UIA_ALLOW_TOKENIZER_FALLBACK=1 to proceed anyway.")
 
 
+def apply_compat_flags(args):
+    """Resolve reference-CLI compat flags (--device/--ckpt/--version) against
+    the TPU-native surface. Called from setup_run so every driver gets it."""
+    if getattr(args, "device", None):
+        logging.info(f"--device {args.device} accepted for CLI parity and "
+                     "ignored (JAX owns device placement)")
+    ck = getattr(args, "ckpt", None)
+    if ck:
+        if ck.endswith(".npz"):
+            if not getattr(args, "backbone_ckpt", None):
+                args.backbone_ckpt = ck
+        elif os.path.exists(ck) and not getattr(args, "backbone_ckpt", None):
+            # only a real torch archive is an error; reference-style default
+            # paths that don't exist here (ckpt/ViT-B-16.pt) stay informational
+            raise SystemExit(
+                f"--ckpt {ck} looks like a torch archive. Convert it first:\n"
+                f"  python -m nextgen_uia_tpu.convert <kind> {ck} out.npz\n"
+                "then pass the .npz via --ckpt or --backbone_ckpt.")
+
+
 def setup_run(args, subdir: str):
     path = os.path.join("runs", args.exp, args.dataset, subdir) \
         if subdir in ("train", "test") else os.path.join("runs", args.exp)
     os.makedirs(path, exist_ok=True)
     setup_logging(args, path)
+    apply_compat_flags(args)
     return path
 
 

@@ -152,7 +152,9 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
         steps_per_epoch = max(n_train // args.batch_size, 1)
         tcfg = T.TrainConfig(lr=args.lr, lr_min=args.lr_min,
                              weight_decay=args.weight_decay,
-                             beta1=0.9, beta2=bundle.beta2, grad_clip=0.0,
+                             beta1=getattr(args, "beta1", 0.9),
+                             beta2=getattr(args, "beta2", bundle.beta2),
+                             grad_clip=0.0,
                              accum_steps=1, total_updates=steps_per_epoch * args.epochs)
         opt, _ = T.make_optimizer(tcfg)
         state = T.init_state(trainable, opt)

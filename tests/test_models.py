@@ -276,3 +276,54 @@ def test_bert_full_ft_never_passes_residual_to_mha(monkeypatch):
     cfg_auto = dataclasses.replace(cfg, mlp_impl="auto")
     B.bert_apply(p, cfg_auto, ids)
     assert calls and all(calls), "frozen BERT should use the residual fusion"
+
+
+def test_vit_full_ft_never_passes_residual_to_mha(monkeypatch):
+    """Same guard as the BERT test for vit.block_apply: with mlp_impl='xla'
+    (full fine-tuning) the block must keep LN + residual in XLA — routing
+    through mha(residual=/ln=) would zero dWo/dLN grads on TPU."""
+    import nextgen_uia_tpu.models.vit as V
+
+    calls = []
+    real_mha = V.mha
+
+    def spy(p, x, **kw):
+        calls.append(kw.get("residual") is not None or kw.get("ln") is not None)
+        return real_mha(p, x, **kw)
+
+    monkeypatch.setattr(V, "mha", spy)
+    cfg = dataclasses.replace(TINY, mlp_impl="xla")
+    p = vit_init(jax.random.key(0), cfg)
+    x = jnp.ones((2, 32, 32, 3))
+    vit_apply(p, cfg, x)
+    assert calls and not any(calls), "full-FT ViT passed residual=/ln= to mha"
+
+    calls.clear()
+    vit_apply(p, TINY, x)  # mlp_impl='auto' (frozen tower)
+    assert calls and all(calls), "frozen ViT should use the fused-mha wiring"
+
+
+def test_text_clip_full_ft_never_passes_residual_to_mha(monkeypatch):
+    """Same guard for text_clip._text_block (inline `from ..nn.attention
+    import mha` — patch at the attention module)."""
+    import nextgen_uia_tpu.nn.attention as A
+    from nextgen_uia_tpu.models.text_clip import TextConfig, text_apply, text_init
+
+    calls = []
+    real_mha = A.mha
+
+    def spy(p, x, **kw):
+        calls.append(kw.get("residual") is not None or kw.get("ln") is not None)
+        return real_mha(p, x, **kw)
+
+    monkeypatch.setattr(A, "mha", spy)
+    cfg = TextConfig(context_length=16, vocab_size=64, width=32, heads=4,
+                     depth=2, embed_dim=16, mlp_impl="xla")
+    p = text_init(jax.random.key(0), cfg)
+    ids = jnp.ones((2, 16), jnp.int32)
+    text_apply(p, cfg, ids)
+    assert calls and not any(calls), "full-FT text tower passed residual=/ln= to mha"
+
+    calls.clear()
+    text_apply(p, dataclasses.replace(cfg, mlp_impl="auto"), ids)
+    assert calls and all(calls), "frozen text tower should use the residual fusion"

@@ -14,7 +14,8 @@ def test_retrieval_metrics_identity():
     sim = np.eye(n) * 10 + np.random.default_rng(0).normal(size=(n, n)) * 0.1
     m = retrieval_metrics(sim)
     assert m["i2t"]["r1"] == 100.0 and m["t2i"]["r1"] == 100.0
-    assert m["i2t"]["medr"] == 1.0 and m["rsum"] == 600.0
+    # default K = [1,2,5,10] (retrieval.py:84-91): rSum = 8 × 100
+    assert m["i2t"]["medr"] == 1.0 and m["rsum"] == 800.0
 
 
 def test_retrieval_metrics_ranked():
@@ -23,8 +24,18 @@ def test_retrieval_metrics_ranked():
     sim[0] = [1.0, 6.0, 7.0, 0.0]
     m = retrieval_metrics(sim)
     assert m["i2t"]["r1"] == 75.0
+    assert m["i2t"]["r2"] == 75.0   # rank 2 (0-based) not < 2
     assert m["i2t"]["r5"] == 100.0
     assert m["i2t"]["meanr"] > 1.0
+
+
+def test_retrieval_metrics_custom_k_values():
+    sim = np.eye(4) * 5.0
+    sim[0] = [1.0, 6.0, 7.0, 0.0]  # item 0's match at rank 3 (1-based)
+    m = retrieval_metrics(sim, k_values=[3])
+    assert set(m["i2t"]) == {"r3", "medr", "meanr"}
+    assert m["i2t"]["r3"] == 100.0
+    assert m["rsum"] == m["i2t"]["r3"] + m["t2i"]["r3"]
 
 
 def _pil_roundtrip(fn_jax, fn_pil, img_u8, **kw):
