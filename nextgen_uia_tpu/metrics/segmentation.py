@@ -50,10 +50,17 @@ def iou(preds: np.ndarray, labels: np.ndarray) -> np.ndarray:
 
 
 def _mask_edges(mask: np.ndarray) -> np.ndarray:
-    """Boundary pixels: mask XOR eroded(mask) (MONAI get_mask_edges)."""
+    """Boundary pixels: mask XOR eroded(mask) (MONAI get_mask_edges).
+
+    MONAI calls ``scipy.ndimage.binary_erosion(seg)`` with the DEFAULT
+    structuring element — the connectivity-1 cross, not the full 3x3 box —
+    and border_value=0, so image-border-touching pixels are edges. A pixel is
+    a boundary pixel iff any of its 4-neighbours (or the image border) is
+    background; diagonal-only contact does not count. Pinned by the
+    brute-force oracle in tests/test_monai_surface_oracle.py."""
     if not mask.any():
         return np.zeros_like(mask)
-    eroded = ndimage.binary_erosion(mask, structure=np.ones((3, 3), bool), border_value=0)
+    eroded = ndimage.binary_erosion(mask)  # default cross structure, border 0
     return mask ^ eroded
 
 def _surface_distances(src: np.ndarray, dst: np.ndarray) -> np.ndarray:

@@ -72,15 +72,45 @@ def dinov2_init(rng, cfg: ViTConfig = DINOV2_B14):
     }
 
 
+def _torch_bicubic_taps(n_in: int, n_out: int, scale: float):
+    """Static gather indices + weights replicating torch
+    ``F.interpolate(mode='bicubic')`` (align_corners=False, antialias=False,
+    cubic-convolution kernel a=-0.75, border-replicate taps). ``scale`` is
+    the EXPLICIT scale_factor torch maps coordinates with when one is given
+    (recompute_scale_factor=None): src = (dst + 0.5)/scale - 0.5."""
+    import numpy as np
+
+    a = -0.75
+    dst = np.arange(n_out, dtype=np.float64)
+    src = (dst + 0.5) / scale - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    t = src - i0  # in [0, 1)
+    offs = np.arange(-1, 3)
+    idx = np.clip(i0[:, None] + offs[None, :], 0, n_in - 1)
+    d = np.abs(t[:, None] - offs[None, :])  # tap distances in (0, 2)
+    w = np.where(d <= 1.0,
+                 (a + 2.0) * d ** 3 - (a + 3.0) * d ** 2 + 1.0,
+                 a * d ** 3 - 5.0 * a * d ** 2 + 8.0 * a * d - 4.0 * a)
+    return jnp.asarray(idx), jnp.asarray(w, jnp.float32)
+
+
 def _interp_pos(pos, grid_out: int, width: int):
-    """Bicubic pos-embed interpolation: [1 + g0^2, D] -> [1 + grid_out^2, D]."""
+    """Pos-embed interpolation matching DinoVisionTransformer.
+    interpolate_pos_encoding (vision_transformer.py:165-189): torch bicubic
+    with DINO's +0.1 scale-factor offset, applied separably with static
+    weights (shapes are compile-time constants — no gather-heavy resize)."""
     cls_pos, patch_pos = pos[:1], pos[1:]
     g0 = int(round(patch_pos.shape[0] ** 0.5))
     if g0 == grid_out:
         return pos
-    grid = patch_pos.reshape(1, g0, g0, width)
-    grid = jax.image.resize(grid, (1, grid_out, grid_out, width), method="bicubic")
-    return jnp.concatenate([cls_pos, grid.reshape(grid_out * grid_out, width)], axis=0)
+    scale = (grid_out + 0.1) / g0  # interpolate_pos_encoding's w0 + 0.1
+    idx, w = _torch_bicubic_taps(g0, grid_out, scale)
+    grid = patch_pos.reshape(g0, g0, width).astype(jnp.float32)
+    # rows then cols: [g0, g0, D] -> [grid_out, g0, D] -> [grid_out, grid_out, D]
+    grid = jnp.einsum("rt,rtcd->rcd", w, grid[idx])
+    grid = jnp.einsum("ct,rctd->rcd", w, grid[:, idx])
+    return jnp.concatenate(
+        [cls_pos, grid.reshape(grid_out * grid_out, width).astype(pos.dtype)], axis=0)
 
 
 def _embed(p, cfg: ViTConfig, images, *, dtype=None):
