@@ -81,6 +81,17 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+def param_pspecs(params, mesh: Mesh):
+    """The PartitionSpec tree matching shard_params (for shard_map in_specs)."""
+    from .partition import path_str
+
+    def spec_of(path, v):
+        return param_spec(path_str(path), np.shape(v),
+                          model_axis_size=mesh.shape["model"])
+
+    return jax.tree_util.tree_map_with_path(spec_of, params)
+
+
 def param_shardings(params, mesh: Mesh):
     """The NamedSharding tree matching shard_params (for jit in_shardings)."""
     from .partition import path_str

@@ -136,30 +136,64 @@ def _keep_if_skipped(any_ok, new_trees, old_trees):
 
 
 def make_sharded_train_step(loss_fn, optimizer, cfg: TrainConfig, mesh,
-                            *, donate: bool = True, has_aux: bool = False):
-    """Data-parallel train step via shard_map over the mesh's 'data' axis.
+                            *, donate: bool = True, has_aux: bool = False,
+                            frozen_specs=None):
+    """Data-parallel train step via shard_map over the mesh's 'data' axis —
+    optionally with the frozen tower FSDP-sharded over 'model'.
 
     Inside shard_map every device runs the per-shard program on LOCAL shapes —
     this is what makes the Pallas kernels (flash attention, fused MLP)
     multi-chip safe: a plain jit would hand them globally-sharded operands
     that custom calls can't partition. Gradients/losses are psum-averaged
-    over 'data'; params/opt state are replicated.
+    over the data-parallel axes; trainable params/opt state are replicated.
+
+    ``frozen_specs`` (a PartitionSpec tree matching ``frozen``, from
+    core.mesh.param_pspecs) activates the §5.8 "frozen weights sharded once"
+    design when the mesh's 'model' axis is >1: frozen matrices live sharded
+    over 'model' in HBM (memory / n_model) and are all-gathered over ICI at
+    use inside the step — classic FSDP, minus the reduce-scatter because
+    frozen weights receive no gradients. The batch then shards over BOTH
+    mesh axes, so all devices do data-parallel compute.
 
     Batch leaves must be [accum, global_batch, ...], sharded on axis 1.
 
     Note on contrastive losses: loss_fn sees the LOCAL shard, so InfoNCE
     negatives are shard-local — identical semantics to the reference's
     single-device batches when per-chip batch == the reference batch size.
-    For global negatives, all_gather features inside loss_fn over 'data'.
+    For global negatives, all_gather features inside loss_fn over the
+    data-parallel axes (both of them under FSDP).
     """
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=has_aux)
+    n_model = mesh.shape.get("model", 1)
+    fsdp = frozen_specs is not None and n_model > 1
+    dp_axes = ("data", "model") if fsdp else "data"
+
+    def _gather_frozen(frozen):
+        if not fsdp:
+            return frozen
+
+        def g(x, spec):
+            for axis, name in enumerate(spec):
+                names = name if isinstance(name, tuple) else (
+                    (name,) if name is not None else ())
+                if "model" in names:
+                    return jax.lax.all_gather(x, "model", axis=axis, tiled=True)
+            return x
+
+        return jax.tree_util.tree_map(g, frozen, frozen_specs)
 
     def local_grads(params, frozen, batch, rng):
         # decorrelate per-shard randomness (dropout, augmentation)
-        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        shard_idx = jax.lax.axis_index("data")
+        if fsdp:
+            shard_idx = shard_idx * n_model + jax.lax.axis_index("model")
+        rng = jax.random.fold_in(rng, shard_idx)
+        # FSDP: materialize full frozen weights from their 'model' shards
+        # once per step (forward AND the scan reuse the gathered tree)
+        frozen = _gather_frozen(frozen)
 
         def micro(carry, xs):
             grads_acc, loss_acc, count, _ = carry
@@ -185,27 +219,29 @@ def make_sharded_train_step(loss_fn, optimizer, cfg: TrainConfig, mesh,
             aux0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), aux0)
         (grads, loss_sum, n_ok, aux), _ = jax.lax.scan(
             micro, (zero, 0.0, jnp.zeros((), jnp.int32), aux0), (batch, rngs))
-        # average over microbatches locally, then over the data axis
+        # average over microbatches locally, then over the DP axes
         denom = jnp.maximum(n_ok, 1).astype(jnp.float32)
         grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
-        grads = jax.lax.pmean(grads, "data")
-        loss = jax.lax.pmean(loss_sum / denom, "data")
-        n_ok_any = jax.lax.pmax(n_ok, "data")
-        skipped = jax.lax.pmax(cfg.accum_steps - n_ok, "data")
+        grads = jax.lax.pmean(grads, dp_axes)
+        loss = jax.lax.pmean(loss_sum / denom, dp_axes)
+        n_ok_any = jax.lax.pmax(n_ok, dp_axes)
+        skipped = jax.lax.pmax(cfg.accum_steps - n_ok, dp_axes)
         if has_aux:
             # merge per-shard batch statistics (e.g. BN running stats)
-            aux = jax.tree_util.tree_map(lambda a: jax.lax.pmean(a, "data"), aux)
+            aux = jax.tree_util.tree_map(lambda a: jax.lax.pmean(a, dp_axes), aux)
         return grads, loss, n_ok_any, skipped, aux
 
     rep = P()
-    batch_spec = P(None, "data")
+    batch_spec = P(None, dp_axes)
 
     def step(state, frozen, batch, rng):
         specs_batch = jax.tree_util.tree_map(lambda _: batch_spec, batch)
+        frozen_in = (frozen_specs if fsdp
+                     else jax.tree_util.tree_map(lambda _: rep, frozen))
         sharded = shard_map(
             local_grads, mesh=mesh,
             in_specs=(jax.tree_util.tree_map(lambda _: rep, state["params"]),
-                      jax.tree_util.tree_map(lambda _: rep, frozen),
+                      frozen_in,
                       specs_batch, rep),
             out_specs=(jax.tree_util.tree_map(lambda _: rep, state["params"]),
                        rep, rep, rep, rep),
@@ -244,11 +280,18 @@ def scale_gradient(x, s: float):
 
 
 def make_step_for_mesh(loss_fn, optimizer, cfg: TrainConfig, mesh=None,
-                       *, donate: bool = True, has_aux: bool = False):
-    """Build the right step for a mesh: the plain jitted step when the data
-    axis is 1 wide (or mesh is None), else the shard_map data-parallel step —
-    the Pallas-safe multi-chip path (CLAUDE.md invariant: custom calls must
-    see local shapes).
+                       *, donate: bool = True, has_aux: bool = False,
+                       frozen_example=None):
+    """Build the right step for a mesh: the plain jitted step when only one
+    device participates, else the shard_map data-parallel step — the
+    Pallas-safe multi-chip path (CLAUDE.md invariant: custom calls must see
+    local shapes).
+
+    ``frozen_example`` (the frozen pytree, or any tree with its shapes)
+    activates FSDP sharding of the frozen tower over the mesh's 'model' axis
+    when that axis is >1 — the batch then shards over BOTH axes. Pass the
+    frozen tree through core.mesh.shard_params first so HBM actually holds
+    shards from step one (jit would otherwise reshard on call).
 
     Returns (step, batch_sharding): device_put each host-stacked
     [accum, global_batch, ...] batch with ``batch_sharding`` before calling
@@ -256,12 +299,23 @@ def make_step_for_mesh(loss_fn, optimizer, cfg: TrainConfig, mesh=None,
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    if mesh is None or mesh.shape.get("data", 1) <= 1:
+    n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+    n_model = mesh.shape.get("model", 1) if mesh is not None else 1
+    fsdp = n_model > 1 and frozen_example is not None
+    if mesh is None or (n_data <= 1 and not fsdp):
         return (make_train_step(loss_fn, optimizer, cfg, donate=donate,
                                 has_aux=has_aux), None)
+    frozen_specs = None
+    batch_axes = "data"
+    if fsdp:
+        from .mesh import param_pspecs
+
+        frozen_specs = param_pspecs(frozen_example, mesh)
+        batch_axes = ("data", "model")
     step = make_sharded_train_step(loss_fn, optimizer, cfg, mesh,
-                                   donate=donate, has_aux=has_aux)
-    return step, NamedSharding(mesh, P(None, "data"))
+                                   donate=donate, has_aux=has_aux,
+                                   frozen_specs=frozen_specs)
+    return step, NamedSharding(mesh, P(None, batch_axes))
 
 
 def stack_microbatches(batch: dict, accum_steps: int):

@@ -72,6 +72,36 @@ def _bert_layer_init(rng, cfg: BertConfig):
     }
 
 
+def _fused_bert_enabled() -> bool:
+    import os
+
+    return os.environ.get("NEXTGEN_UIA_FUSED_BERT", "1") != "0"
+
+
+def _fused_bert_layer(layer, x, cfg: BertConfig, pad_bias, dtype):
+    """One frozen post-norm BERT layer in three Pallas kernels: raw-x
+    head-major q/k/v (full-width matmuls — the XLA per-head einsum leaves
+    half the MXU lanes idle), attention + o-proj + residual + LN epilogue
+    (the pre-LN sum never round-trips HBM), post-norm MLP + LN. Returns None
+    when any kernel declines (caller falls back op-by-op)."""
+    from ..ops.fused_attn_o import fused_attn_o_residual
+    from ..ops.fused_ln_mlp import fused_postnorm_mlp_ln
+    from ..ops.fused_ln_qkv import fused_ln_qkv
+
+    xx = x if dtype is None else x.astype(dtype)
+    qkv = fused_ln_qkv(xx, None, layer["attn"], heads=cfg.heads)
+    if qkv is None:
+        return None
+    q, k, v = qkv
+    y = fused_attn_o_residual(q, k, v, xx, layer["attn"]["o"], heads=cfg.heads,
+                              bias=pad_bias, post_ln=layer["attn_ln"],
+                              ln_eps=cfg.ln_eps)
+    if y is None:
+        return None
+    return fused_postnorm_mlp_ln(y, layer["ffn"], layer["ffn_ln"],
+                                 act="gelu", eps=cfg.ln_eps)
+
+
 def bert_apply(p, cfg: BertConfig, token_ids, *, attention_mask=None, dtype=None):
     """token_ids [B, L] -> CLS-pooled, MLP-projected embedding [B, embed_dim]."""
     if attention_mask is None:
@@ -88,14 +118,23 @@ def bert_apply(p, cfg: BertConfig, token_ids, *, attention_mask=None, dtype=None
 
     from .vit import run_mlp
 
+    fully_fused = (cfg.mlp_impl == "auto" and _fused_bert_enabled()
+                   and jax.default_backend() == "tpu")
     for layer in p["layers"]:
-        # post-norm residual blocks (HF BERT layout). residual=x lets the
-        # TPU path fuse the o-projection + skip add into the attention
-        # kernel (ops/fused_attn_o.py) — frozen-Wo contract, so it is gated
-        # on mlp_impl=='auto' exactly like the ViT/text blocks: full
-        # fine-tuning (--tune_text_encoder, mlp_impl='xla') must keep the
-        # o-projection differentiable (the fused kernel returns dWo = 0)
+        # post-norm residual blocks (HF BERT layout). The frozen in-step
+        # tower runs the whole layer through three Pallas kernels (head-major
+        # qkv, attention+o+residual+LN epilogue, post-norm MLP+LN) — gated on
+        # mlp_impl=='auto' exactly like the ViT/text blocks: full fine-tuning
+        # (--tune_text_encoder, mlp_impl='xla') must keep every projection
+        # and LN differentiable in XLA.
+        if fully_fused and "lora" not in layer["attn"]:
+            y = _fused_bert_layer(layer, x, cfg, pad_bias, dtype)
+            if y is not None:
+                x = y
+                continue
         if cfg.mlp_impl == "auto":
+            # residual=x fuses o-proj + skip into the attention kernel
+            # (ops/fused_attn_o.py) — frozen-Wo contract
             a_sum = mha(layer["attn"], x, num_heads=cfg.heads,
                         key_padding_bias=pad_bias, dtype=dtype,
                         lora_alpha=cfg.lora_alpha, residual=x)

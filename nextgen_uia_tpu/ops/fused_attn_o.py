@@ -48,8 +48,9 @@ def _group_probs(q, k, bias_row, *, scale, n_real, causal):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, bias_ref, o_ref,
-                *, heads, g_size, scale, n_real, causal):
+def _fwd_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, g_ref, b_ref,
+                bias_ref, o_ref, *, heads, g_size, scale, n_real, causal,
+                post_ln, ln_eps):
     n, d = x_ref.shape[1], x_ref.shape[2]
     hd = d // heads
     bias_row = bias_ref[0, 0] if bias_ref is not None else None
@@ -68,7 +69,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, bias_ref, o_ref,
     cat = jnp.concatenate(outs, axis=-1)              # [N, D]
     y = jax.lax.dot(cat, wo_ref[...], preferred_element_type=jnp.float32)
     y = y + bo_ref[0].astype(jnp.float32)[None, :]
-    o_ref[0] = (y + x_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+    y = y + x_ref[0].astype(jnp.float32)
+    if post_ln:
+        # post-norm epilogue (BERT): out = LN(attn_o + residual) — the
+        # pre-LN sum never round-trips HBM
+        from .fused_mlp import _ln_rows
+
+        y, _, _ = _ln_rows(y, g_ref[0].astype(jnp.float32),
+                           b_ref[0].astype(jnp.float32), ln_eps)
+    o_ref[0] = y.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, wo_ref, bias_ref, g_ref,
@@ -142,30 +151,36 @@ def _g_size(heads: int, n: int) -> int:
     return 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def _fused(q, k, v, x, wo, bo, bias, heads, n_real, causal):
-    return _fwd_impl(q, k, v, x, wo, bo, bias, heads, n_real, causal)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def _fused(q, k, v, x, wo, bo, gamma, beta, bias, heads, n_real, causal,
+           post_ln, ln_eps):
+    return _fwd_impl(q, k, v, x, wo, bo, gamma, beta, bias, heads, n_real,
+                     causal, post_ln, ln_eps)
 
 
-def _fwd_impl(q, k, v, x, wo, bo, bias, heads, n_real, causal):
+def _fwd_impl(q, k, v, x, wo, bo, gamma, beta, bias, heads, n_real, causal,
+              post_ln=False, ln_eps=1e-12):
     b, h, n, hd = q.shape
     d = h * hd
     gs = _g_size(heads, n)
     scale = 1.0 / (hd ** 0.5)
+    vec = pl.BlockSpec((8, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
     in_specs = [_head_spec(h, n, hd)] * 3 + [_row_spec(n, d),
                 pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, d), lambda i: (0, 0), memory_space=pltpu.VMEM)]
-    args = [q, k, v, x, wo, _tile8(bo)]
+                vec, vec, vec]
+    args = [q, k, v, x, wo, _tile8(bo), _tile8(gamma), _tile8(beta)]
     if bias is not None:
         in_specs.append(_bias_spec(n))
         args.append(jnp.broadcast_to(bias.astype(jnp.float32)[:, None, :],
                                      (b, 8, n)))
         kernel = functools.partial(_fwd_kernel, heads=heads, g_size=gs,
-                                   scale=scale, n_real=n_real, causal=causal)
+                                   scale=scale, n_real=n_real, causal=causal,
+                                   post_ln=post_ln, ln_eps=ln_eps)
     else:
-        def kernel(qr, kr, vr, xr, wor, bor, orf):
-            _fwd_kernel(qr, kr, vr, xr, wor, bor, None, orf, heads=heads,
-                        g_size=gs, scale=scale, n_real=n_real, causal=causal)
+        def kernel(qr, kr, vr, xr, wor, bor, gr_, br_, orf):
+            _fwd_kernel(qr, kr, vr, xr, wor, bor, gr_, br_, None, orf,
+                        heads=heads, g_size=gs, scale=scale, n_real=n_real,
+                        causal=causal, post_ln=post_ln, ln_eps=ln_eps)
     return pl.pallas_call(
         kernel, grid=(b,), in_specs=in_specs, out_specs=_row_spec(n, d),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
@@ -175,13 +190,55 @@ def _fwd_impl(q, k, v, x, wo, bo, bias, heads, n_real, causal):
     )(*args)
 
 
-def _fwd_rule(q, k, v, x, wo, bo, bias, heads, n_real, causal):
-    out = _fwd_impl(q, k, v, x, wo, bo, bias, heads, n_real, causal)
-    return out, (q, k, v, wo, bo, bias)
+def _xla_reference(q, k, v, x, wo, bo, gamma, beta, bias, heads, n_real,
+                   causal, post_ln, ln_eps):
+    """Plain-XLA recomposition of the kernel math (used only to derive the
+    post-LN backward, which the frozen text path never actually traces)."""
+    b, h, n, hd = q.shape
+    d = h * hd
+    s = jnp.einsum("bhqe,bhke->bhqk", q, k,
+                   preferred_element_type=jnp.float32) / (hd ** 0.5)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+    s = jnp.where(col >= n_real, NEG_INF, s)
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)[:, None, None, :]
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col > row, NEG_INF, s)
+    p = jax.nn.softmax(s, axis=-1)
+    oh = jnp.einsum("bhqk,bhke->bhqe", p.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)
+    cat = oh.transpose(0, 2, 1, 3).reshape(b, n, d).astype(x.dtype)
+    y = cat.astype(jnp.float32) @ wo.astype(jnp.float32) + bo[None, None, :]
+    y = y + x.astype(jnp.float32)
+    if post_ln:
+        mu = y.mean(-1, keepdims=True)
+        var = ((y - mu) ** 2).mean(-1, keepdims=True)
+        y = (y - mu) * jax.lax.rsqrt(var + ln_eps) * gamma + beta
+    return y.astype(x.dtype)
 
 
-def _bwd_rule(heads, n_real, causal, res, g):
-    q, k, v, wo, bo, bias = res
+def _fwd_rule(q, k, v, x, wo, bo, gamma, beta, bias, heads, n_real, causal,
+              post_ln, ln_eps):
+    out = _fwd_impl(q, k, v, x, wo, bo, gamma, beta, bias, heads, n_real,
+                    causal, post_ln, ln_eps)
+    return out, (q, k, v, x, wo, bo, gamma, beta, bias)
+
+
+def _bwd_rule(heads, n_real, causal, post_ln, ln_eps, res, g):
+    q, k, v, x, wo, bo, gamma, beta, bias = res
+    if post_ln:
+        # correctness-only: the post-LN variant serves the frozen in-step
+        # text tower, which is never differentiated (no trainable inputs);
+        # if it ever is, fall back to exact XLA recomposition
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_, x_: _xla_reference(
+                q_, k_, v_, x_, wo, bo, gamma, beta, bias, heads, n_real,
+                causal, post_ln, ln_eps), q, k, v, x)
+        dq, dk, dv, dx = vjp(g)
+        zb = jnp.zeros_like(bias) if bias is not None else None
+        return (dq, dk, dv, dx, jnp.zeros_like(wo), jnp.zeros_like(bo),
+                jnp.zeros_like(gamma), jnp.zeros_like(beta), zb)
     b, h, n, hd = q.shape
     d = h * hd
     gs = _g_size(heads, n)
@@ -211,15 +268,19 @@ def _bwd_rule(heads, n_real, causal, res, g):
     )(*args)
     dbias = jnp.zeros_like(bias) if bias is not None else None
     # residual: d(x) = g exactly; frozen Wo/bo get structural zeros
-    return (dq, dk, dv, g, jnp.zeros_like(wo), jnp.zeros_like(bo), dbias)
+    return (dq, dk, dv, g, jnp.zeros_like(wo), jnp.zeros_like(bo),
+            jnp.zeros_like(gamma), jnp.zeros_like(beta), dbias)
 
 
 _fused.defvjp(_fwd_rule, _bwd_rule)
 
 
 def fused_attn_o_residual(q, k, v, x, o_params, *, heads: int, bias=None,
-                          n_real: int | None = None, causal: bool = False):
-    """(q,k,v [B,H,N,dh], x [B,N,D]) -> x + Wo(attention(q,k,v)) + bo.
+                          n_real: int | None = None, causal: bool = False,
+                          post_ln=None, ln_eps: float = 1e-12):
+    """(q,k,v [B,H,N,dh], x [B,N,D]) -> x + Wo(attention(q,k,v)) + bo,
+    optionally LayerNormed (``post_ln`` = LN params dict — the BERT post-norm
+    epilogue; the pre-LN sum never leaves VMEM).
 
     Frozen-Wo contract (see module docstring). bias: optional additive [B, N]
     key-padding mask (constant — no dbias). n_real: number of real (unpadded)
@@ -230,7 +291,12 @@ def fused_attn_o_residual(q, k, v, x, o_params, *, heads: int, bias=None,
     sub = 16 if x.dtype == jnp.bfloat16 else 8
     if n % sub or d % 128 or "b" not in o_params:
         return None
+    has_ln = post_ln is not None
+    gamma = (post_ln["scale"] if has_ln else jnp.ones((d,))).astype(jnp.float32)
+    beta = (post_ln["bias"] if has_ln else jnp.zeros((d,))).astype(jnp.float32)
     return _fused(q, k, v, x,
                   o_params["w"].astype(x.dtype),
                   o_params["b"].astype(jnp.float32),
-                  bias, heads, n_real if n_real is not None else n, causal)
+                  gamma, beta,
+                  bias, heads, n_real if n_real is not None else n, causal,
+                  has_ln, ln_eps)

@@ -34,13 +34,18 @@ from .fused_mlp import _ln_rows, _tile8
 
 
 def _fwd_kernel(x_ref, g_ref, b_ref, wq_ref, bq_ref, wk_ref, bk_ref,
-                wv_ref, bv_ref, q_ref, k_ref, v_ref, *, heads, eps):
+                wv_ref, bv_ref, q_ref, k_ref, v_ref, *, heads, eps, has_ln):
     x = x_ref[0]                               # [N, D]
     n, d = x.shape
     hd = d // heads
-    z, _, _ = _ln_rows(x.astype(jnp.float32), g_ref[0].astype(jnp.float32),
-                       b_ref[0].astype(jnp.float32), eps)
-    z = z.astype(x.dtype)
+    if has_ln:
+        z, _, _ = _ln_rows(x.astype(jnp.float32), g_ref[0].astype(jnp.float32),
+                           b_ref[0].astype(jnp.float32), eps)
+        z = z.astype(x.dtype)
+    else:
+        # post-norm towers (BERT): q/k/v project the RAW residual stream —
+        # this variant exists for the full-width matmuls + head-major layout
+        z = x
     for w_ref, bias_ref, o_ref in ((wq_ref, bq_ref, q_ref),
                                    (wk_ref, bk_ref, k_ref),
                                    (wv_ref, bv_ref, v_ref)):
@@ -53,11 +58,9 @@ def _fwd_kernel(x_ref, g_ref, b_ref, wq_ref, bq_ref, wk_ref, bk_ref,
 
 
 def _bwd_kernel(x_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref,
-                dq_ref, dk_ref, dv_ref, dx_ref, *, heads, eps):
+                dq_ref, dk_ref, dv_ref, dx_ref, *, heads, eps, has_ln):
     x = x_ref[0]
     n, d = x.shape
-    _, xhat, rstd = _ln_rows(x.astype(jnp.float32), g_ref[0].astype(jnp.float32),
-                             b_ref[0].astype(jnp.float32), eps)
     heads_n = dq_ref.shape[1]
     dz = jnp.zeros((n, d), jnp.float32)
     for w_ref, g_out in ((wq_ref, dq_ref), (wk_ref, dk_ref), (wv_ref, dv_ref)):
@@ -66,6 +69,11 @@ def _bwd_kernel(x_ref, g_ref, b_ref, wq_ref, wk_ref, wv_ref,
                              axis=-1).astype(x.dtype)
         dz = dz + jax.lax.dot_general(dy, w_ref[...], (((1,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
+    if not has_ln:
+        dx_ref[0] = dz.astype(dx_ref.dtype)
+        return
+    _, xhat, rstd = _ln_rows(x.astype(jnp.float32), g_ref[0].astype(jnp.float32),
+                             b_ref[0].astype(jnp.float32), eps)
     dxhat = dz * g_ref[0].astype(jnp.float32)[None, :]
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
@@ -89,17 +97,17 @@ def _head_spec(heads, n, hd):
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
-def _fused(x, gamma, beta, wq, bq, wk, bk, wv, bv, heads, eps):
-    return _fwd_impl(x, gamma, beta, wq, bq, wk, bk, wv, bv, heads, eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _fused(x, gamma, beta, wq, bq, wk, bk, wv, bv, heads, eps, has_ln):
+    return _fwd_impl(x, gamma, beta, wq, bq, wk, bk, wv, bv, heads, eps, has_ln)
 
 
-def _fwd_impl(x, gamma, beta, wq, bq, wk, bk, wv, bv, heads, eps):
+def _fwd_impl(x, gamma, beta, wq, bq, wk, bk, wv, bv, heads, eps, has_ln=True):
     b, n, d = x.shape
     hd = d // heads
     out = jax.ShapeDtypeStruct((b, heads, n, hd), x.dtype)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, heads=heads, eps=eps),
+        functools.partial(_fwd_kernel, heads=heads, eps=eps, has_ln=has_ln),
         grid=(b,),
         in_specs=[_row_spec(n, d), _vec_spec(d), _vec_spec(d),
                   _w_spec(d), _vec_spec(d), _w_spec(d), _vec_spec(d),
@@ -111,18 +119,18 @@ def _fwd_impl(x, gamma, beta, wq, bq, wk, bk, wv, bv, heads, eps):
       wv, _tile8(bv))
 
 
-def _fwd_rule(x, gamma, beta, wq, bq, wk, bk, wv, bv, heads, eps):
-    out = _fwd_impl(x, gamma, beta, wq, bq, wk, bk, wv, bv, heads, eps)
+def _fwd_rule(x, gamma, beta, wq, bq, wk, bk, wv, bv, heads, eps, has_ln):
+    out = _fwd_impl(x, gamma, beta, wq, bq, wk, bk, wv, bv, heads, eps, has_ln)
     return out, (x, gamma, beta, wq, bq, wk, bk, wv, bv)
 
 
-def _bwd_rule(heads, eps, res, grads):
+def _bwd_rule(heads, eps, has_ln, res, grads):
     x, gamma, beta, wq, bq, wk, bk, wv, bv = res
     dq, dk, dv = grads
     b, n, d = x.shape
     hd = d // heads
     dx = pl.pallas_call(
-        functools.partial(_bwd_kernel, heads=heads, eps=eps),
+        functools.partial(_bwd_kernel, heads=heads, eps=eps, has_ln=has_ln),
         grid=(b,),
         in_specs=[_row_spec(n, d), _vec_spec(d), _vec_spec(d),
                   _w_spec(d), _w_spec(d), _w_spec(d)] +
@@ -143,6 +151,10 @@ _fused.defvjp(_fwd_rule, _bwd_rule)
 def fused_ln_qkv(x, ln_params, attn_params, *, heads: int, eps: float = 1e-5):
     """x [B, N, D] -> (q, k, v) each [B, H, N, D/H], with LN fused in.
 
+    ``ln_params=None`` gives the post-norm variant (BERT): q/k/v project the
+    raw residual stream — the kernel still wins its full-width matmuls and
+    in-VMEM head-major relayout over the XLA per-head einsum.
+
     Frozen-weight contract (see module docstring). Returns None when the
     shapes don't tile (caller falls back to the XLA path): N must be a
     sublane multiple and D a lane multiple, and q/k/v must carry biases
@@ -154,14 +166,15 @@ def fused_ln_qkv(x, ln_params, attn_params, *, heads: int, eps: float = 1e-5):
         return None
     if any("b" not in attn_params[k] for k in ("q", "k", "v")):
         return None
+    has_ln = ln_params is not None
+    gamma = (ln_params["scale"] if has_ln else jnp.ones((d,))).astype(jnp.float32)
+    beta = (ln_params["bias"] if has_ln else jnp.zeros((d,))).astype(jnp.float32)
     return _fused(
-        x,
-        ln_params["scale"].astype(jnp.float32),
-        ln_params["bias"].astype(jnp.float32),
+        x, gamma, beta,
         attn_params["q"]["w"].astype(x.dtype),
         attn_params["q"]["b"].astype(jnp.float32),
         attn_params["k"]["w"].astype(x.dtype),
         attn_params["k"]["b"].astype(jnp.float32),
         attn_params["v"]["w"].astype(x.dtype),
         attn_params["v"]["b"].astype(jnp.float32),
-        heads, eps)
+        heads, eps, has_ln)

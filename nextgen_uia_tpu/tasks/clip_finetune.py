@@ -53,6 +53,12 @@ def _finetune_parser(family: str):
                    help="accepted for reference CLI parity; the reference "
                         "declares this flag but never consumes it "
                         "(metaclip/finetune.py:49 — no other reference)")
+    p.add_argument("--trim_text_padding", default=True,
+                   action=__import__("argparse").BooleanOptionalAction,
+                   help="Trim in-step text batches to the real max caption "
+                        "length (32-token buckets). Mathematically exact "
+                        "(see trim_token_padding); only affects the uncached "
+                        "text path.")
     p.add_argument("--finetune_csvs", type=str, nargs="*", default=None,
                    help="caption CSVs (default: MedPix + PMC-CURD under data_root)")
     p.add_argument("--finetune_img_dirs", type=str, nargs="*", default=None)
@@ -153,12 +159,16 @@ def finetune_main(family: str, argv=None):
 
     ctx = cfg.text.context_length
     mesh = make_mesh(args.n_data or 1, args.n_model)
-    n_dp = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    # with the frozen tower FSDP-sharded over 'model', the batch shards over
+    # BOTH mesh axes — the data-parallel width is the whole mesh
+    n_dp = mesh.shape["data"] * (n_model if n_model > 1 else 1)
+    dp_axes = ("data", "model") if n_model > 1 else "data"
     micro_bs = args.batch_size // args.accumulation_steps
     if n_dp > 1 and micro_bs % n_dp != 0:
         raise ValueError(
             f"microbatch size {micro_bs} (batch_size/accumulation_steps) must "
-            f"be divisible by the data-parallel mesh size {n_dp}")
+            f"be divisible by the data-parallel width {n_dp}")
 
     steps = max(len(train_ds) // args.batch_size, 1)
     updates_per_epoch = math.ceil(steps / args.accumulation_steps)
@@ -210,15 +220,26 @@ def finetune_main(family: str, argv=None):
             # local-sample contribution to the shared global loss).
             img_feats = T.scale_gradient(img_feats, float(n_dp))
             txt_feats = T.scale_gradient(txt_feats, float(n_dp))
-            img_feats = jax.lax.all_gather(img_feats, "data", axis=0, tiled=True)
-            txt_feats = jax.lax.all_gather(txt_feats, "data", axis=0, tiled=True)
+            img_feats = jax.lax.all_gather(img_feats, dp_axes, axis=0, tiled=True)
+            txt_feats = jax.lax.all_gather(txt_feats, dp_axes, axis=0, tiled=True)
         return info_nce(img_feats, txt_feats, temperature=args.temperature)
 
-    # Pallas-safe multi-chip path: shard_map DP step when the data axis > 1
-    # (plain jit can't partition the fused-MLP/flash-attention custom calls)
-    step, mb_sharding = T.make_step_for_mesh(loss_fn, opt, tcfg, mesh)
+    # Pallas-safe multi-chip path: shard_map DP step when >1 device
+    # participates (plain jit can't partition the fused-MLP/flash-attention
+    # custom calls). n_model>1 additionally FSDP-shards the frozen tower.
+    frozen_train = frozen_c
+    if n_model > 1:
+        from ..core.mesh import shard_params
+
+        frozen_train = shard_params(frozen_c, mesh)
+    step, mb_sharding = T.make_step_for_mesh(
+        loss_fn, opt, tcfg, mesh,
+        frozen_example=frozen_train if n_model > 1 else None)
     if n_dp > 1:
-        logging.info(f"Data-parallel training over {n_dp} devices (shard_map)")
+        logging.info(
+            f"Data-parallel training over {n_dp} devices (shard_map"
+            + (f", frozen tower FSDP over model={n_model})" if n_model > 1
+               else ")"))
 
     @jax.jit
     def val_loss_fn(trainable_p, frozen_p, batch):
@@ -240,7 +261,9 @@ def finetune_main(family: str, argv=None):
             if use_text_cache:
                 b["txt_feat"] = np.stack([text_cache[c] for c in b["caption"]])
             else:
-                b["tokens"] = np.asarray(tokenizer(b["caption"], ctx))
+                b["tokens"] = trim_token_padding(
+                    np.asarray(tokenizer(b["caption"], ctx)),
+                    enabled=args.trim_text_padding)
             del b["caption"]
             yield b
 
@@ -275,7 +298,7 @@ def finetune_main(family: str, argv=None):
                 microbatched(tokenized_batches(train_ds, True, True, args.seed + epoch)),
                 sharding=mb_sharding):
             k, k1 = jax.random.split(k)
-            state, m = step(state, frozen_c, mb, k1)
+            state, m = step(state, frozen_train, mb, k1)
             update_count += 1
             loss = float(m["loss"])
             epoch_loss += loss
@@ -345,6 +368,28 @@ def finetune_main(family: str, argv=None):
 # ---------------------------------------------------------------------------
 # Retrieval
 # ---------------------------------------------------------------------------
+
+
+def trim_token_padding(tokens: np.ndarray, *, enabled: bool = True,
+                       multiple: int = 32) -> np.ndarray:
+    """Trim a padded token batch [B, ctx] to the batch's real max length,
+    rounded up to ``multiple`` (lane-friendly buckets: ≤8 jit variants).
+
+    EXACT for both text towers: pad columns (id 0) carry a -1e9 additive
+    attention bias (exp underflows to 0.0 in f32/bf16), so real-token rows
+    never read them, and pooled outputs (BERT CLS / CLIP EOT-argmax) never
+    read pad rows. The reference always pays the full ctx-256 forward
+    (finetune.py:275-277 tokenizes to fixed length); captions are typically
+    50–150 WordPiece tokens, so this removes most of the frozen-text FLOPs
+    from the honest in-step path. Disable with --no-trim_text_padding for
+    fixed-shape runs.
+    """
+    if not enabled:
+        return tokens
+    lengths = (tokens != 0).sum(axis=1)
+    lmax = int(lengths.max()) if tokens.size else 0
+    bucket = max(((lmax + multiple - 1) // multiple) * multiple, multiple)
+    return tokens[:, : min(bucket, tokens.shape[1])]
 
 
 def retrieval_metrics(sim: np.ndarray, k_values=(1, 2, 5, 10)):

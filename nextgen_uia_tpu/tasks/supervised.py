@@ -160,15 +160,31 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
         state = T.init_state(trainable, opt)
         mesh = make_mesh(getattr(args, "n_data", None) or 1,
                          getattr(args, "n_model", 1))
-        n_dp = mesh.shape["data"]
+        n_model = mesh.shape["model"]
+        # under FSDP ('model' axis shards the frozen tower) the batch shards
+        # over BOTH axes — every device does data-parallel compute
+        n_dp = mesh.shape["data"] * (n_model if n_model > 1 else 1)
         if n_dp > 1 and args.batch_size % n_dp != 0:
             raise ValueError(f"batch_size {args.batch_size} must be divisible "
-                             f"by the data-parallel mesh size {n_dp}")
-        # shard_map DP when data axis > 1 (Pallas-safe; BN aux pmean-merged)
-        step, mb_sharding = T.make_step_for_mesh(loss_fn, opt, tcfg, mesh,
-                                                 has_aux=True)
+                             f"by the data-parallel width {n_dp}")
+        # FSDP: the train step consumes the frozen tower sharded over 'model'
+        # (HBM / n_model); eval keeps the unsharded copy — it runs
+        # single-device (val/test sets are ultrasound-scale)
+        frozen_train = frozen
+        if n_model > 1:
+            from ..core.mesh import shard_params
+            frozen_train = shard_params(frozen, mesh)
+        # shard_map DP when >1 device participates (Pallas-safe; BN aux
+        # pmean-merged); frozen tower FSDP-sharded over 'model' when n_model>1
+        step, mb_sharding = T.make_step_for_mesh(
+            loss_fn, opt, tcfg, mesh, has_aux=True,
+            frozen_example={"params": frozen_train, "bn": bn_state}
+            if n_model > 1 else None)
         if n_dp > 1:
-            logging.info(f"Data-parallel training over {n_dp} devices (shard_map)")
+            logging.info(
+                f"Data-parallel training over {n_dp} devices (shard_map"
+                + (f", frozen tower FSDP over model={n_model})" if n_model > 1
+                   else ")"))
         stopper = T.EarlyStopper(args.patience, mode="max")
         writer = TBWriter(os.path.join(run_path, "log"))
         key_metric = "acc" if task == "cls" else "dice_mean"
@@ -193,7 +209,7 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
 
             for mb in P.prefetch_to_device(microbatched(), sharding=mb_sharding):
                 k, k1 = jax.random.split(k)
-                frozen_pack = {"params": frozen, "bn": bn_state}
+                frozen_pack = {"params": frozen_train, "bn": bn_state}
                 state, m = step(state, frozen_pack, mb, k1)
                 if bn_state is not None:
                     bn_state = m["aux"]

@@ -187,3 +187,60 @@ def test_unimedclip_supervised_classification_e2e(synth):
                   "--epochs", "2", "--val_interval", "2", "--patience", "3"]
                  + TINY)
     assert "acc" in stats
+
+
+def test_finetune_fsdp_model_sharded_e2e(ftdata):
+    """VERDICT r2 Missing #4: the train step consumes the frozen tower
+    FSDP-sharded over 'model' on a {'data':4,'model':2} mesh (batch over all
+    8 devices), through the real finetune CLI, and lands close to plain."""
+    from nextgen_uia_tpu.tasks.biomedclip.finetune import main
+
+    csv, img_dir = ftdata
+    base = ["--batch_size", "16", "--accumulation_steps", "2"]
+    plain = main(_ft_args(csv, img_dir, "ftfp", base))
+    fsdp = main(_ft_args(csv, img_dir, "ftfs",
+                         base + ["--n_data", "4", "--n_model", "2"]))
+    assert np.isfinite(fsdp["best_val_loss"])
+    assert abs(plain["best_val_loss"] - fsdp["best_val_loss"]) < 5e-2, (plain, fsdp)
+
+
+def test_trim_text_padding_exact():
+    """trim_token_padding is mathematically exact for both text towers:
+    pad columns are masked (BERT) or causally invisible to the EOT row
+    (CLIP), and pooled outputs never read pad rows."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from nextgen_uia_tpu.tasks.clip_finetune import trim_token_padding
+    from nextgen_uia_tpu.models import clip as clip_mod
+
+    rng = np.random.default_rng(0)
+
+    for family, tiny in (("biomedclip", True), ("openai", True)):
+        cfg = clip_mod.clip_config(family)
+        if family == "biomedclip":
+            txt = dataclasses.replace(cfg.text, width=32, depth=2, heads=4,
+                                      intermediate=64, embed_dim=16,
+                                      vocab_size=200)
+        else:
+            txt = dataclasses.replace(cfg.text, width=32, depth=2, heads=4,
+                                      embed_dim=16, vocab_size=200)
+        cfg = dataclasses.replace(cfg, text=txt)
+        params = {"text": (clip_mod.bert_init if cfg.text_kind == "bert"
+                           else clip_mod.text_init)(jax.random.key(0), cfg.text)}
+
+        ctx = cfg.text.context_length
+        tokens = np.zeros((4, ctx), np.int64)
+        for i, ln in enumerate((5, 21, 40, 64)):
+            tokens[i, :ln] = rng.integers(1, 198, ln)
+            tokens[i, ln - 1] = 199  # EOT = max id for the CLIP tower
+        trimmed = trim_token_padding(tokens)
+        assert trimmed.shape[1] == 64 and trimmed.shape[1] < ctx
+
+        full = clip_mod.encode_text(params, cfg, jnp.asarray(tokens))
+        cut = clip_mod.encode_text(params, cfg, jnp.asarray(trimmed))
+        np.testing.assert_allclose(np.asarray(cut), np.asarray(full),
+                                   rtol=2e-5, atol=2e-6, err_msg=family)
+
+    # disabled flag is the identity
+    assert trim_token_padding(tokens, enabled=False).shape == tokens.shape

@@ -220,3 +220,75 @@ def test_make_step_for_mesh_plain_on_single_data_axis():
     state, m = step(T.init_state(params, opt), {"b": jnp.zeros(1)}, batch,
                     jax.random.key(0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_fsdp_frozen_sharded_step_matches_plain():
+    """FSDP step (frozen matrices sharded over 'model', batch over BOTH mesh
+    axes) == plain step on the full batch: loss and updated params match."""
+    mesh = make_mesh(4, 2)
+    cfg = T.TrainConfig(lr=0.1, accum_steps=2, total_updates=10)
+    opt, _ = T.make_optimizer(cfg)
+    ks = jax.random.split(jax.random.key(5), 4)
+    params = {"w": jnp.zeros((6, 1))}
+    # frozen "tower": one matrix large enough for the 'model' policy plus a
+    # small replicated bias (min_size in param_spec is 2^16 elements)
+    frozen = {"proj": {"w": 0.05 * jax.random.normal(ks[0], (512, 128))},
+              "bias": jnp.zeros((128,))}
+    x = jax.random.normal(ks[1], (2, 16, 6))
+    y = jax.random.normal(ks[2], (2, 16, 1))
+    batch = {"x": x, "y": y}
+
+    def loss_fn(p, f, b, r):
+        h = jnp.tanh(b["x"] @ p["w"])                     # [bs, 1]
+        feat = h * (f["proj"]["w"].sum() * 1e-3 + 1.0)    # consumes frozen
+        return jnp.mean((feat - b["y"]) ** 2) + 1e-6 * f["bias"].sum()
+
+    plain = T.make_train_step(loss_fn, opt, cfg, donate=False)
+    s1, m1 = plain(T.init_state(params, opt), frozen, batch, jax.random.key(7))
+
+    frozen_sharded = shard_params(frozen, mesh)
+    # the big matrix must actually be sharded over 'model'
+    spec = frozen_sharded["proj"]["w"].sharding.spec
+    assert any(ax == "model" or (isinstance(ax, tuple) and "model" in ax)
+               for ax in spec if ax), f"policy did not shard proj/w: {spec}"
+
+    step, sh = T.make_step_for_mesh(loss_fn, opt, cfg, mesh, donate=False,
+                                    frozen_example=frozen_sharded)
+    assert sh is not None and sh.spec == jax.sharding.PartitionSpec(
+        None, ("data", "model"))
+    sb = {k: jax.device_put(v, sh) for k, v in batch.items()}
+    s2, m2 = step(T.init_state(params, opt), frozen_sharded, sb, jax.random.key(7))
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2["params"]["w"]),
+                               np.asarray(s1["params"]["w"]), rtol=1e-5, atol=1e-7)
+
+
+def test_fsdp_leading_dim_gather():
+    """P('model', None) frozen leaves (odd trailing dim) gather on axis 0."""
+    mesh = make_mesh(4, 2)
+    cfg = T.TrainConfig(lr=0.1, accum_steps=1, total_updates=5)
+    opt, _ = T.make_optimizer(cfg)
+    params = {"w": jnp.zeros((4, 1))}
+    # trailing dim 333 not divisible by 2 -> leading-dim sharding
+    frozen = {"emb": {"w": 0.01 * jax.random.normal(jax.random.key(0), (512, 333))}}
+    assert param_spec("emb/w", (512, 333), model_axis_size=2) == \
+        jax.sharding.PartitionSpec("model", None)
+    batch = {"x": jax.random.normal(jax.random.key(1), (1, 16, 4)),
+             "y": jnp.ones((1, 16, 1))}
+
+    def loss_fn(p, f, b, r):
+        s = f["emb"]["w"].mean()  # touches every shard
+        return jnp.mean((b["x"] @ p["w"] + s * 1e-3 - b["y"]) ** 2)
+
+    plain = T.make_train_step(loss_fn, opt, cfg, donate=False)
+    s1, m1 = plain(T.init_state(params, opt), frozen, batch, jax.random.key(2))
+
+    fs = shard_params(frozen, mesh)
+    step, sh = T.make_step_for_mesh(loss_fn, opt, cfg, mesh, donate=False,
+                                    frozen_example=fs)
+    sb = {k: jax.device_put(v, sh) for k, v in batch.items()}
+    s2, m2 = step(T.init_state(params, opt), fs, sb, jax.random.key(2))
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2["params"]["w"]),
+                               np.asarray(s1["params"]["w"]), rtol=1e-5, atol=1e-7)
