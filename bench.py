@@ -38,6 +38,9 @@ STEPS = 30
 WARMUP = 3
 # measure the full both-towers step instead (PERF.md tracking)
 IN_STEP_TEXT = os.environ.get("NEXTGEN_UIA_BENCH_TEXT") == "1"
+# epoch-level input-pipeline mode: real decoded files + prefetch feeding the
+# step for 2 epochs, img/s INCLUDING host time (PERF.md round 3)
+INPUT_MODE = os.environ.get("NEXTGEN_UIA_BENCH_INPUT") == "1"
 
 
 def main():
@@ -74,6 +77,23 @@ def main():
                                     jnp.float32),
     }
     tokens = jax.random.randint(jax.random.key(2), (1, BATCH, 256), 1, 30000)
+    # NEXTGEN_UIA_BENCH_TEXT_LEN=<n>: simulate realistic caption lengths
+    # (medical figure captions are ~50-150 WordPiece tokens; the reference
+    # still pays the full ctx-256 forward). Per-sample lengths are drawn in
+    # [0.6n, n]; the driver's exact --trim_text_padding then buckets the
+    # batch to n. 0 (default) = every caption fills the full 256 context.
+    text_len = int(os.environ.get("NEXTGEN_UIA_BENCH_TEXT_LEN", "0"))
+    if IN_STEP_TEXT and text_len:
+        import numpy as np
+
+        from nextgen_uia_tpu.tasks.clip_finetune import trim_token_padding
+
+        t = np.asarray(tokens[0])
+        lengths = np.random.default_rng(0).integers(
+            max(int(0.6 * text_len), 8), text_len + 1, BATCH)
+        for i, ln in enumerate(lengths):
+            t[i, ln:] = 0
+        tokens = jnp.asarray(trim_token_padding(t))[None]
     if IN_STEP_TEXT:
         batch["tokens"] = tokens
     else:
@@ -115,5 +135,105 @@ def main():
     }))
 
 
+def input_pipeline_bench(n_images: int = 1024, epochs: int = 2):
+    """End-to-end epoch throughput: PNG files on disk -> decode (PIL, or the
+    C++ loader with NEXTGEN_UIA_NATIVE_LOADER=1) -> thread-pool batching ->
+    prefetch_to_device -> the shipped cached-text mona step. Reports img/s
+    including all host time, plus the host-only rate of the input pipeline
+    (decode+collate alone) so the bottleneck side is explicit."""
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    from nextgen_uia_tpu.core import train as T
+    from nextgen_uia_tpu.core.partition import (by_keywords, cast_frozen_bf16,
+                                                merge, partition)
+    from nextgen_uia_tpu.data import datasets as D
+    from nextgen_uia_tpu.data import pipeline as P
+    from nextgen_uia_tpu.losses import info_nce
+    from nextgen_uia_tpu.models import clip as clip_mod
+    from __graft_entry__ import _flagship
+
+    workers = int(os.environ.get("NEXTGEN_UIA_BENCH_WORKERS", "8"))
+    root = tempfile.mkdtemp(prefix="uia_input_bench_")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(n_images):
+        arr = rng.integers(0, 255, (256, 256), dtype=np.uint8)
+        path = os.path.join(root, f"img_{i:05d}.png")
+        Image.fromarray(arr, "L").save(path)
+        paths.append(path)
+
+    class _BenchDataset:
+        """Grayscale decode via data.datasets.load_image — the exact host
+        path the supervised drivers use (native C++ loader when
+        NEXTGEN_UIA_NATIVE_LOADER=1, PIL otherwise) — replicated to the
+        3-channel [224,224,3] uint8 the CLIP tower step consumes."""
+
+        def __len__(self):
+            return len(paths)
+
+        def __getitem__(self, i):
+            g = D.load_image(paths[i], 224)
+            return {"image": np.repeat(g[:, :, None], 3, axis=2)}
+
+    ds = _BenchDataset()
+
+    cfg, params = _flagship(depth=12)
+    trainable, frozen = partition(params, by_keywords("mona"))
+    frozen = cast_frozen_bf16(frozen)
+    tcfg = T.TrainConfig(lr=1e-4, accum_steps=1, total_updates=1000)
+    opt, _ = T.make_optimizer(tcfg)
+    state = T.init_state(trainable, opt)
+    feat = np.asarray(jax.random.normal(jax.random.key(3), (BATCH, 512)),
+                      np.float32)
+
+    def loss_fn(tp, fp, batch, rng_):
+        p = merge(tp, fp)
+        x = batch["image"].astype(jnp.float32) / 255.0
+        img_feats, _ = clip_mod.encode_image(p, cfg, x, rng=rng_)
+        return info_nce(img_feats, batch["txt_feat"])
+
+    step = T.make_train_step(loss_fn, opt, tcfg, donate=True)
+
+    def run_epochs(feed_device: bool):
+        nonlocal state
+        t0 = time.perf_counter()
+        n = 0
+        k = jax.random.key(0)
+        for _ in range(epochs):
+            gen = ({"image": b["image"][None], "txt_feat": feat[None]}
+                   for b in P.batches(ds, BATCH, shuffle=True, drop_last=True,
+                                      seed=0, workers=workers))
+            if feed_device:
+                for mb in P.prefetch_to_device(gen):
+                    k, k1 = jax.random.split(k)
+                    state, metrics = step(state, frozen, mb, k1)
+                    n += BATCH
+                float(metrics["loss"])  # relay-safe barrier (see main())
+            else:
+                for mb in gen:
+                    n += int(mb["image"].shape[1])
+        return n / (time.perf_counter() - t0)
+
+    host_rate = run_epochs(feed_device=False)
+    e2e_rate = run_epochs(feed_device=True)
+    native = os.environ.get("NEXTGEN_UIA_NATIVE_LOADER", "0") == "1"
+    print(json.dumps({
+        "metric": "input-pipeline e2e images/sec (2 epochs, real files)",
+        "value": round(e2e_rate, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(e2e_rate / A100_EST_IMG_S, 3),
+        "host_only_images_per_sec": round(host_rate, 2),
+        "decode": "native" if native else "PIL",
+        "workers": workers,
+        "n_images": n_images,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if INPUT_MODE:
+        input_pipeline_bench()
+    else:
+        main()

@@ -32,8 +32,12 @@ TINY = ["--img_size", "32", "--batch_size", "4", "--debug_tiny",
 
 
 def _ft_args(csv, img_dir, exp, extra=()):
+    # accumulation_steps=1: the driver default of 4 would make 1-sample
+    # microbatches at the tiny batch size, and single-pair InfoNCE is
+    # identically zero with zero gradient — nothing would train
     return (["--exp", exp, "--method", "mona", "--mona_variant", "hybrid",
              "--epochs", "2", "--patience", "5", "--seed", "1",
+             "--accumulation_steps", "1",
              "--finetune_csvs", csv, "--finetune_img_dirs", img_dir]
             + TINY + list(extra))
 
@@ -244,3 +248,67 @@ def test_trim_text_padding_exact():
 
     # disabled flag is the identity
     assert trim_token_padding(tokens, enabled=False).shape == tokens.shape
+
+
+def test_finetune_full_method_e2e(ftdata):
+    """--method full: every tower weight trains (mlp_impl='xla' gate — no
+    frozen-weight kernels), reference lr auto-clamp semantics."""
+    from nextgen_uia_tpu.tasks.biomedclip.finetune import main
+
+    csv, img_dir = ftdata
+    out = main(["--exp", "ftfull", "--method", "full", "--epochs", "1",
+                "--patience", "5", "--seed", "1", "--accumulation_steps", "1",
+                "--finetune_csvs", csv,
+                "--finetune_img_dirs", img_dir] + TINY)
+    assert np.isfinite(out["best_val_loss"])
+    assert os.path.exists("runs/ftfull/best_model.npz")
+
+
+def test_finetune_lora_text_encoder_e2e(ftdata):
+    """--method lora --tune_text_encoder: text LoRA actually TRAINS — the
+    saved adapter checkpoint must contain text-side lora tensors that moved
+    away from their zero-B init."""
+    from nextgen_uia_tpu.tasks.biomedclip.finetune import main
+
+    csv, img_dir = ftdata
+    out = main(["--exp", "ftlt", "--method", "lora", "--tune_text_encoder",
+                "--epochs", "2", "--patience", "5", "--seed", "1",
+                "--accumulation_steps", "1",
+                "--finetune_csvs", csv, "--finetune_img_dirs", img_dir]
+               + TINY)
+    assert np.isfinite(out["best_val_loss"])
+    saved = np.load("runs/ftlt/best_model.npz")
+    text_lora = [k for k in saved.files if k.startswith("text") and "lora" in k]
+    assert text_lora, f"no text lora tensors saved: {saved.files[:10]}"
+    # B matrices init to zero; training must have moved at least one
+    b_mats = [saved[k] for k in text_lora if k.endswith("/b")]
+    assert b_mats and any(np.abs(m).max() > 0 for m in b_mats), \
+        "text LoRA B matrices never updated — text tower not actually training"
+
+
+def test_biomedclip_fewshot_classification_e2e(synth):
+    """biomedclip fewshot_classification CLI (k-shot sampler + cls engine)."""
+    from nextgen_uia_tpu.tasks.biomedclip.fewshot_classification import main
+
+    stats = main(["--dataset", "BUSI", "--data_root", synth, "--exp", "bmfs",
+                  "--shots_per_class", "2", "--epochs", "2",
+                  "--val_interval", "2", "--patience", "3"] + TINY)
+    assert "acc" in stats
+
+
+def test_metaclip_finetune_e2e(ftdata):
+    """metaclip finetune engine (OpenAI-layout towers, CLIP text @77)."""
+    from nextgen_uia_tpu.tasks.metaclip.finetune import main
+
+    csv, img_dir = ftdata
+    out = main(_ft_args(csv, img_dir, "mcft", ["--epochs", "1"]))
+    assert np.isfinite(out["best_val_loss"])
+
+
+def test_unimedclip_finetune_e2e(ftdata):
+    """unimedclip finetune engine (visual-only weights + BiomedBERT@77)."""
+    from nextgen_uia_tpu.tasks.unimedclip.finetune import main
+
+    csv, img_dir = ftdata
+    out = main(_ft_args(csv, img_dir, "umft", ["--epochs", "1"]))
+    assert np.isfinite(out["best_val_loss"])
