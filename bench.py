@@ -88,7 +88,7 @@ def main():
 
         from nextgen_uia_tpu.tasks.clip_finetune import trim_token_padding
 
-        t = np.asarray(tokens[0])
+        t = np.array(tokens[0])  # writable copy (np.asarray of a jax array is read-only)
         lengths = np.random.default_rng(0).integers(
             max(int(0.6 * text_len), 8), text_len + 1, BATCH)
         for i, ln in enumerate(lengths):
