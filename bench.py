@@ -217,6 +217,13 @@ def input_pipeline_bench(n_images: int = 1024, epochs: int = 2):
                     n += int(mb["image"].shape[1])
         return n / (time.perf_counter() - t0)
 
+    # compile warmup: one step outside the timed windows (first full-size
+    # compile is 90-500 s through the remote helper and must not be timed)
+    wb = {"image": ds[0]["image"][None][None].repeat(BATCH, axis=1),
+          "txt_feat": feat[None]}
+    state, m0 = step(state, frozen, wb, jax.random.key(9))
+    float(m0["loss"])
+
     host_rate = run_epochs(feed_device=False)
     e2e_rate = run_epochs(feed_device=True)
     native = os.environ.get("NEXTGEN_UIA_NATIVE_LOADER", "0") == "1"
