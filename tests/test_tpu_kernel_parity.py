@@ -64,7 +64,11 @@ def _require_tpu():
 DRIVE = r"""
 import json, sys
 import jax
-jax.config.update("jax_platforms", "{platform}")
+# the CPU leg must force the platform AFTER importing jax (env vars don't
+# beat the axon sitecustomize); the TPU leg must NOT touch jax_platforms —
+# the relay-registered platform is what default_backend()=='tpu' resolves to
+if "{platform}" == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 sys.path.insert(0, {repo!r}); sys.path.insert(0, {tests!r})
 from synth_data import make_finetune_csv, make_synth_root
