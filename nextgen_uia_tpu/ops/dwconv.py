@@ -36,6 +36,27 @@ def _should_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# Mosaic (this toolchain) hard-aborts lowering the backward stencil when a
+# spatial dim is 4 (lower_to_llo.cc "d >> 32 == 0 (-1 vs 0)"); tiny debug
+# towers hit this (64px/16 -> 4x4 grid). Zero-padding H/W up to MIN_HW and
+# slicing back is EXACT for every in/out tensor: the conv is 'SAME' with
+# zero padding, so extending x (and g) with zeros reproduces the original
+# boundary condition, and the extra output positions contribute g=0 to all
+# gradient reductions.
+MIN_HW = 8
+
+
+def _pad_hw(a, h, w, ph, pw):
+    """Zero-pad a [B, h, w, C] array's spatial dims to [B, ph, pw, C]."""
+    if (ph, pw) == (h, w):
+        return a
+    return jnp.pad(a, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+
+
+def _target_hw(h, w):
+    return max(h, MIN_HW) if h < 5 else h, max(w, MIN_HW) if w < 5 else w
+
+
 def _fwd_kernel(x_ref, k_ref, o_ref, *, h, w):
     x = x_ref[0].astype(jnp.float32)          # [h, w, C]
     kk = k_ref[0].astype(jnp.float32)         # [K, K, C]
@@ -84,16 +105,19 @@ def dwconv7_per_sample(x, kernels):
 
 def _dwconv_fwd_impl(x, kernels):
     b, h, w, c = x.shape
-    spec_x = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+    ph, pw = _target_hw(h, w)
+    xp = _pad_hw(x, h, w, ph, pw)
+    spec_x = pl.BlockSpec((1, ph, pw, c), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     spec_k = pl.BlockSpec((1, K, K, c), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, h=h, w=w),
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, h=ph, w=pw),
         grid=(b,), in_specs=[spec_x, spec_k], out_specs=spec_x,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
         interpret=_should_interpret(),
-    )(x, kernels)
+    )(xp, kernels)
+    return out[:, :h, :w, :]
 
 
 def _dwconv_fwd_rule(x, kernels):
@@ -103,19 +127,22 @@ def _dwconv_fwd_rule(x, kernels):
 def _dwconv_bwd_rule(res, g):
     x, kernels = res
     b, h, w, c = x.shape
-    spec_x = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+    ph, pw = _target_hw(h, w)
+    xp = _pad_hw(x, h, w, ph, pw)
+    gp = _pad_hw(g, h, w, ph, pw)
+    spec_x = pl.BlockSpec((1, ph, pw, c), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     spec_k = pl.BlockSpec((1, K, K, c), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     dx, dk = pl.pallas_call(
-        functools.partial(_bwd_kernel, h=h, w=w),
+        functools.partial(_bwd_kernel, h=ph, w=pw),
         grid=(b,), in_specs=[spec_x, spec_k, spec_x],
         out_specs=(spec_x, spec_k),
-        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_shape=(jax.ShapeDtypeStruct(xp.shape, x.dtype),
                    jax.ShapeDtypeStruct(kernels.shape, jnp.float32)),
         interpret=_should_interpret(),
-    )(x, kernels, g)
-    return dx, dk.astype(kernels.dtype)
+    )(xp, kernels, gp)
+    return dx[:, :h, :w, :], dk.astype(kernels.dtype)
 
 
 dwconv7_per_sample.defvjp(_dwconv_fwd_rule, _dwconv_bwd_rule)
@@ -201,14 +228,17 @@ def _mona_specs(b, h, w, c):
 
 def _mona_fwd_impl(s, freq, kernels, bias):
     b, h, w, c = s.shape
-    sp, kp, fp, bp = _mona_specs(b, h, w, c)
-    return pl.pallas_call(
-        functools.partial(_mona_fwd_kernel, h=h, w=w),
+    ph, pw = _target_hw(h, w)
+    spd = _pad_hw(s, h, w, ph, pw)
+    sp, kp, fp, bp = _mona_specs(b, ph, pw, c)
+    out = pl.pallas_call(
+        functools.partial(_mona_fwd_kernel, h=ph, w=pw),
         grid=(b,), in_specs=[sp, fp, kp, bp],
         out_specs=sp,
-        out_shape=jax.ShapeDtypeStruct(s.shape, s.dtype),
+        out_shape=jax.ShapeDtypeStruct(spd.shape, s.dtype),
         interpret=_should_interpret(),
-    )(s, _row2d(freq), kernels, bias[:, None, :])
+    )(spd, _row2d(freq), kernels, bias[:, None, :])
+    return out[:, :h, :w, :]
 
 
 def _mona_fwd_rule(s, freq, kernels, bias):
@@ -218,18 +248,22 @@ def _mona_fwd_rule(s, freq, kernels, bias):
 def _mona_bwd_rule(res, g):
     s, freq, kernels = res
     b, h, w, c = s.shape
-    sp, kp, fp, bp = _mona_specs(b, h, w, c)
+    ph, pw = _target_hw(h, w)
+    spd = _pad_hw(s, h, w, ph, pw)
+    gpd = _pad_hw(g, h, w, ph, pw)
+    sp, kp, fp, bp = _mona_specs(b, ph, pw, c)
     dfp = pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     ds, dk, df_part, db_part = pl.pallas_call(
-        functools.partial(_mona_bwd_kernel, h=h, w=w),
+        functools.partial(_mona_bwd_kernel, h=ph, w=pw),
         grid=(b,), in_specs=[sp, fp, kp, sp],
         out_specs=(sp, kp, dfp, dfp),
-        out_shape=(jax.ShapeDtypeStruct(s.shape, s.dtype),
+        out_shape=(jax.ShapeDtypeStruct(spd.shape, s.dtype),
                    jax.ShapeDtypeStruct(kernels.shape, jnp.float32),
                    jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
                    jax.ShapeDtypeStruct((b, 1, c), jnp.float32)),
         interpret=_should_interpret(),
-    )(s, _row2d(freq), kernels, g)
+    )(spd, _row2d(freq), kernels, gpd)
+    ds = ds[:, :h, :w, :]
     dfreq = jnp.sum(df_part[:, 0, :], axis=0).astype(freq.dtype)
     dbias = db_part[:, 0, :]
     return ds, dfreq, dk.astype(kernels.dtype), dbias

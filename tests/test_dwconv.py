@@ -34,6 +34,49 @@ def test_dwconv_odd_spatial():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
+def test_dwconv_tiny_spatial_padded_path():
+    """HW=4 (debug_tiny towers: 64px/16 -> 4x4 grid) takes the zero-pad-to-8
+    path that works around the Mosaic lowering abort; values and grads must
+    stay EXACT vs the XLA formulation (zero padding reproduces the SAME-conv
+    boundary; extra positions contribute g=0 to every reduction)."""
+    from nextgen_uia_tpu.ops.dwconv import mona_spatial
+
+    b, h, w, c = 4, 4, 4, 64
+    ks = jax.random.split(jax.random.key(7), 4)
+    x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
+    k = jax.random.normal(ks[1], (b, 7, 7, c), jnp.float32) * 0.2
+    ref = _ref(x, k[:, :, :, None, :])
+    out = dwconv7_per_sample(x, k)
+    assert out.shape == (b, h, w, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    gr = jax.grad(lambda x, k: jnp.sum(_ref(x, k[:, :, :, None, :]) ** 2),
+                  argnums=(0, 1))(x, k)
+    gp = jax.grad(lambda x, k: jnp.sum(dwconv7_per_sample(x, k) ** 2),
+                  argnums=(0, 1))(x, k)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
+
+    # fused mona_spatial at the same tiny shape: composed reference
+    freq = jax.random.normal(ks[2], (c,), jnp.float32)
+    bias = jax.random.normal(ks[3], (b, c), jnp.float32) * 0.1
+    want = _ref(x * freq[None, None, None, :],
+                k[:, :, :, None, :]) + bias[:, None, None, :] + x
+    got = mona_spatial(x, freq, k, bias)
+    assert got.shape == (b, h, w, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    grm = jax.grad(lambda s, f, kk, bb: jnp.sum(
+        mona_spatial(s, f, kk, bb) ** 2), argnums=(0, 1, 2, 3))(x, freq, k, bias)
+    grr = jax.grad(lambda s, f, kk, bb: jnp.sum(
+        (_ref(s * f[None, None, None, :], kk[:, :, :, None, :])
+         + bb[:, None, None, :] + s) ** 2), argnums=(0, 1, 2, 3))(x, freq, k, bias)
+    for a, b_ in zip(grm, grr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_dwconv_gradients_match_xla():
     b, h, w, c = 2, 14, 14, 16
     ks = jax.random.split(jax.random.key(2), 2)
