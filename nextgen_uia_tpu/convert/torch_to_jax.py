@@ -381,6 +381,11 @@ def convert_modified_resnet(sd, layers=None, prefix="visual."):
     sd = _numpy_sd({k[len(prefix):]: v for k, v in sd.items()
                     if k.startswith(prefix)} if prefix else sd)
     if layers is None:
+        if not any(k.startswith("layer1.") for k in sd):
+            raise ValueError(
+                "state dict has no layerN.* keys under prefix "
+                f"{prefix!r} — not a ModifiedResNet tower (ViT CLIP "
+                "checkpoints convert via the 'clip' kind)")
         layers = tuple(
             1 + max(int(k.split(".")[1]) for k in sd
                     if k.startswith(f"layer{st}."))

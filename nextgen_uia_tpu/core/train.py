@@ -6,7 +6,7 @@ share"), replacing the reference's 24 near-identical hand-written loops.
 
 Reference training semantics reproduced (finetune.py:211-361,
 segmentation.py:152-281):
-  - AdamW (betas 0.9/0.95 for finetune, 0.9/0.999 supervised), wd 0.01
+  - AdamW (betas 0.9/0.95, CLI-overridable --beta1/--beta2), wd 0.01
   - cosine LR per *update* from lr to lr_min over total updates
   - gradient accumulation: K microbatches per update, loss averaged
   - global-norm gradient clipping (max_norm 1.0)

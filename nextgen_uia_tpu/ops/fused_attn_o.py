@@ -292,6 +292,9 @@ def fused_attn_o_residual(q, k, v, x, o_params, *, heads: int, bias=None,
     if n % sub or d % 128 or "b" not in o_params:
         return None
     has_ln = post_ln is not None
+    # pre-norm callers ship constant ones/zeros so both layouts share one
+    # kernel signature + VJP; the dead operands are two 8xD f32 tiles
+    # (~48 KB/call, const-folded by XLA) — far below measurement noise
     gamma = (post_ln["scale"] if has_ln else jnp.ones((d,))).astype(jnp.float32)
     beta = (post_ln["bias"] if has_ln else jnp.zeros((d,))).astype(jnp.float32)
     return _fused(q, k, v, x,

@@ -409,7 +409,14 @@ def trim_token_padding(tokens: np.ndarray, *, enabled: bool = True,
     """
     if not enabled:
         return tokens
-    lengths = (tokens != 0).sum(axis=1)
+    # length = last-nonzero position + 1, NOT a nonzero count: the CLIP BPE
+    # emits real token id 0 ('!' as a non-final char of an unmerged
+    # punctuation run), so counting nonzeros would undercount and could trim
+    # off the EOT token. Padding is strictly trailing zeros after EOT/SEP,
+    # so the last nonzero bounds the true length for both tokenizers.
+    nz = tokens != 0
+    lengths = np.where(nz.any(axis=1),
+                       tokens.shape[1] - np.argmax(nz[:, ::-1], axis=1), 0)
     lmax = int(lengths.max()) if tokens.size else 0
     bucket = max(((lmax + multiple - 1) // multiple) * multiple, multiple)
     return tokens[:, : min(bucket, tokens.shape[1])]

@@ -112,8 +112,7 @@ def clipseg_segmentation_main(argv=None):
         return model_logits(params, x, False, None)
 
     bundle = Bundle(task="seg", params=params, trainable_pred=by_keywords("head"),
-                    forward_train=forward_train, forward_eval=forward_eval,
-                    beta2=0.95)
+                    forward_train=forward_train, forward_eval=forward_eval)
     datasets_ = datasets
     return run_supervised(args, bundle, datasets_, run_path, "clipseg_segmentation")
 
@@ -183,7 +182,7 @@ def dino_classification_main(argv=None, *, fewshot: bool = False):
         return logits_fn(params, x)
 
     bundle = Bundle(task="cls", params=params, trainable_pred=by_keywords("head"),
-                    forward_train=forward_train, forward_eval=forward_eval, beta2=0.95)
+                    forward_train=forward_train, forward_eval=forward_eval)
     return run_supervised(args, bundle, datasets, run_path, "dino_classification")
 
 
@@ -240,7 +239,7 @@ def dino_segmentation_main(argv=None, *, fewshot: bool = False):
 
     bundle = Bundle(task="seg", params=params, trainable_pred=by_keywords("head"),
                     forward_train=forward_train, forward_eval=forward_eval,
-                    bn_state=bn_state, beta2=0.95)
+                    bn_state=bn_state)
     return run_supervised(args, bundle, datasets, run_path, "dino_segmentation")
 
 
@@ -287,7 +286,7 @@ def baselines_classification_main(argv=None, *, fewshot: bool = False):
 
     bundle = Bundle(task="cls", params=params, trainable_pred=lambda _: True,
                     forward_train=forward_train, forward_eval=forward_eval,
-                    bn_state=bn_state, beta2=0.95)
+                    bn_state=bn_state)
     return run_supervised(args, bundle, datasets, run_path, "baselines_classification")
 
 
@@ -326,5 +325,5 @@ def baselines_segmentation_main(argv=None, *, fewshot: bool = False):
 
     bundle = Bundle(task="seg", params=params, trainable_pred=lambda _: True,
                     forward_train=forward_train, forward_eval=forward_eval,
-                    bn_state=bn_state, beta2=0.95)
+                    bn_state=bn_state)
     return run_supervised(args, bundle, datasets, run_path, "baselines_segmentation")

@@ -68,7 +68,6 @@ class Bundle:
     forward_train: Callable
     forward_eval: Callable
     bn_state: Any = None
-    beta2: float = 0.999
 
 
 def np_criterion_for(task: str):
@@ -182,7 +181,7 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
         tcfg = T.TrainConfig(lr=args.lr, lr_min=args.lr_min,
                              weight_decay=args.weight_decay,
                              beta1=getattr(args, "beta1", 0.9),
-                             beta2=getattr(args, "beta2", bundle.beta2),
+                             beta2=getattr(args, "beta2", 0.95),
                              grad_clip=0.0,
                              accum_steps=1, total_updates=steps_per_epoch * args.epochs)
         opt, _ = T.make_optimizer(tcfg)

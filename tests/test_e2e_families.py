@@ -250,6 +250,35 @@ def test_trim_text_padding_exact():
     assert trim_token_padding(tokens, enabled=False).shape == tokens.shape
 
 
+def test_trim_text_padding_mid_sequence_zero_id():
+    """The CLIP BPE emits real token id 0 ('!' as a non-final char of an
+    unmerged punctuation run, e.g. '!??'); length must be the last-nonzero
+    position, not a nonzero COUNT — counting would undercount such rows and
+    could trim off the EOT token."""
+    from nextgen_uia_tpu.data.tokenizer import ClipTokenizer
+    from nextgen_uia_tpu.tasks.clip_finetune import trim_token_padding
+
+    tk = ClipTokenizer()
+    assert 0 in tk.encode("!??"), "tokenizer no longer emits id 0 for '!?' runs"
+
+    ctx = 128
+    # row 0: true length 37 but with in-sequence zeros; a count would say 33
+    # and (with the other rows <=32) trim the batch to 32, cutting row 0's EOT
+    tokens = np.zeros((2, ctx), np.int64)
+    tokens[0, :37] = 7
+    tokens[0, [5, 11, 20, 29]] = 0   # real id-0 tokens mid-sequence
+    tokens[1, :9] = 3
+    trimmed = trim_token_padding(tokens, multiple=32)
+    assert trimmed.shape[1] == 64, trimmed.shape
+    np.testing.assert_array_equal(trimmed[0, :37], tokens[0, :37])
+
+    # a real tokenized batch with id-0 tokens round-trips exactly
+    ids = np.asarray(tk(["ultrasound !?? lesion"], ctx))
+    t2 = trim_token_padding(ids, multiple=32)
+    n = 128 - int(np.argmax((ids != 0)[0, ::-1]))
+    assert t2.shape[1] >= n and np.array_equal(t2[0, :n], ids[0, :n])
+
+
 def test_finetune_full_method_e2e(ftdata):
     """--method full: every tower weight trains (mlp_impl='xla' gate — no
     frozen-weight kernels), reference lr auto-clamp semantics."""
