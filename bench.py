@@ -26,21 +26,29 @@ from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 A100_EST_IMG_S = 600.0
-BATCH = 64
-STEPS = 30
-WARMUP = 3
+A100_EVAL_EST_IMG_S = 2000.0  # fwd-only eager estimate; trail in eval_bench()
+BATCH = int(os.environ.get("NEXTGEN_UIA_BENCH_BATCH", "64"))
+STEPS = int(os.environ.get("NEXTGEN_UIA_BENCH_STEPS", "30"))
+WARMUP = int(os.environ.get("NEXTGEN_UIA_BENCH_WARMUP", "3"))
+# smoke-test knobs (tests/test_bench_smoke.py runs the bench at toy size on
+# CPU so a bench.py regression cannot silently void a round's number):
+DEPTH = int(os.environ.get("NEXTGEN_UIA_BENCH_DEPTH", "12"))
+IMG = int(os.environ.get("NEXTGEN_UIA_BENCH_IMG", "224"))
+DTYPE = os.environ.get("NEXTGEN_UIA_BENCH_DTYPE", "bfloat16")  # f32 for CPU smoke
 # measure the full both-towers step instead (PERF.md tracking)
 IN_STEP_TEXT = os.environ.get("NEXTGEN_UIA_BENCH_TEXT") == "1"
 # epoch-level input-pipeline mode: real decoded files + prefetch feeding the
 # step for 2 epochs, img/s INCLUDING host time (PERF.md round 3)
 INPUT_MODE = os.environ.get("NEXTGEN_UIA_BENCH_INPUT") == "1"
+# eval/serving mode: steady-state zero-shot classification throughput
+# (the shipped make_zero_shot_logits_fn path, fwd-only) — PERF.md round 3
+EVAL_MODE = os.environ.get("NEXTGEN_UIA_BENCH_EVAL") == "1"
 
 
 def main():
@@ -52,7 +60,7 @@ def main():
 
     from nextgen_uia_tpu.core.partition import cast_frozen_bf16
 
-    cfg, params = _flagship(depth=12)
+    cfg, params = _flagship(depth=DEPTH, image_size=IMG, compute_dtype=DTYPE)
     trainable, frozen = partition(params, by_keywords("mona"))
     frozen = cast_frozen_bf16(frozen)
 
@@ -73,7 +81,7 @@ def main():
 
     rng = jax.random.key(0)
     batch = {
-        "image": jax.random.uniform(jax.random.key(1), (1, BATCH, 224, 224, 3),
+        "image": jax.random.uniform(jax.random.key(1), (1, BATCH, IMG, IMG, 3),
                                     jnp.float32),
     }
     tokens = jax.random.randint(jax.random.key(2), (1, BATCH, 256), 1, 30000)
@@ -239,8 +247,88 @@ def input_pipeline_bench(n_images: int = 1024, epochs: int = 2):
     }))
 
 
+def eval_bench():
+    """Serving/eval throughput: the shipped zero-shot classification path
+    (tasks/clip_tasks.py::make_zero_shot_logits_fn — uint8 images -> bf16
+    MONA-adapted ViT-B/16 forward -> normalized features -> ensemble-mean
+    100*cos logits), fwd-only, per-batch dispatch exactly like the driver's
+    eval loop. Matches the reference's zero-shot image loop
+    (src/models/biomedclip/zero_shot.py:199-230), whose text prototypes are
+    likewise encoded once outside the loop.
+
+    Prototype text features are random normalized vectors here: the timed
+    computation (feats @ protos.T) is shape- and cost-identical to real
+    prompt-ensemble features, and the real tokenizer is not needed for a
+    throughput number.
+
+    vs_baseline: A100_EVAL_EST_IMG_S, derived with the same trail as the
+    training estimate (PERF.md): eval workload ~18.7 GF/img (ViT-B/16 fwd
+    17.6 GF + hybrid MONA ~6%); scaling the 600 img/s eager-training
+    estimate by the FLOP ratio (64/18.7) gives ~2,050 img/s at equal eager
+    efficiency; public timm A100 AMP inference lands 2,800-3,300 at large
+    batch, and eager batch-64 with Python-dispatched MONA typically reaches
+    half to two-thirds of that (1,500-2,200). 2,000 is the deliberately
+    generous midpoint.
+
+    Relay barrier note: each step chains a scalar accumulator through the
+    previous step's logits, so the single final float(acc) fetch forces the
+    whole timed sequence (jax.block_until_ready is unreliable here).
+    """
+    from nextgen_uia_tpu.core.partition import (by_keywords, cast_frozen_bf16,
+                                                merge, partition)
+    from nextgen_uia_tpu.tasks import clip_tasks as CT
+    from nextgen_uia_tpu.tasks import prompts as PR
+    from __graft_entry__ import _flagship
+
+    batch = int(os.environ.get("NEXTGEN_UIA_BENCH_EVAL_BATCH", str(BATCH)))
+    cfg, params = _flagship(depth=DEPTH, image_size=IMG, compute_dtype=DTYPE)
+    trainable, frozen = partition(params, by_keywords("mona"))
+    params = merge(trainable, cast_frozen_bf16(frozen))
+    params = jax.device_put(params)
+
+    text_feats = {}
+    for i, c in enumerate(PR.LESION_TYPES):
+        f = jax.random.normal(jax.random.key(10 + i), (10, cfg.vision.proj_dim),
+                              jnp.float32)
+        text_feats[c] = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+    image_logits = CT.make_zero_shot_logits_fn(cfg, text_feats)
+    images = jax.random.randint(jax.random.key(1), (batch, IMG, IMG, 3),
+                                0, 255, jnp.uint8)
+
+    def step(acc, imgs):
+        logits, _ = image_logits(params, imgs)
+        return acc + jnp.float32(jnp.sum(logits))
+
+    acc = jnp.float32(0.0)
+    for _ in range(WARMUP):
+        acc = step(acc, images)
+    float(acc)
+
+    dts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            acc = step(acc, images)
+        float(acc)
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
+
+    n_chips = jax.device_count()
+    img_per_s = batch * STEPS / dt / n_chips
+    print(json.dumps({
+        "metric": "BUSI zero-shot eval images/sec/chip",
+        "value": round(img_per_s, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / A100_EVAL_EST_IMG_S, 3),
+        "batch": batch,
+    }))
+
+
 if __name__ == "__main__":
     if INPUT_MODE:
         input_pipeline_bench()
+    elif EVAL_MODE:
+        eval_bench()
     else:
         main()
