@@ -104,6 +104,17 @@ class TBWriter:
         if self._w is not None:
             self._w.add_scalar(tag, value, step)
 
+    def images(self, tag: str, batch_nchw, step: int):
+        """Image grid (NCHW float [0,1] or uint8) — the seg drivers' val-round
+        input/label/pred grids (segmentation.py:215-217)."""
+        if self._w is not None:
+            self._w.add_images(tag, batch_nchw, step)
+
+    def figure(self, tag: str, fig, step: int):
+        """Matplotlib figure (classification.py:214 val ROC)."""
+        if self._w is not None:
+            self._w.add_figure(tag, fig, step)
+
     def close(self):
         if self._w is not None:
             self._w.close()

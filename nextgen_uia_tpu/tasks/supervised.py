@@ -37,7 +37,7 @@ from ..core.partition import merge, partition
 from ..data import pipeline as P
 from ..losses import dice_ce_loss, focal_loss
 from ..metrics.segmentation import ClsAccumulator, SegAccumulator, one_hot_argmax
-from ..utils.viz import plot_roc, visualize_seg
+from ..utils.viz import plot_roc, roc_figure, visualize_seg
 
 
 def preprocess(images_u8, masks_u8, args, *, train: bool, rng, in_channels: int = 3):
@@ -184,7 +184,7 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
                              beta2=getattr(args, "beta2", 0.95),
                              grad_clip=0.0,
                              accum_steps=1, total_updates=steps_per_epoch * args.epochs)
-        opt, _ = T.make_optimizer(tcfg)
+        opt, sched = T.make_optimizer(tcfg)
         state = T.init_state(trainable, opt)
         if n_dp > 1 and args.batch_size % n_dp != 0:
             raise ValueError(f"batch_size {args.batch_size} must be divisible "
@@ -232,12 +232,36 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
                 nb += 1
             writer.scalar("train/loss", epoch_loss / max(nb, 1), epoch + 1)
 
+            writer.scalar("train/lr", float(sched(state["step"])), epoch + 1)
+
             if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
                 trainable_now = state["params"]
-                accum, _, _ = evaluate("val", trainable_now, bn_state)
+                accum, _, vis = evaluate("val", trainable_now, bn_state)
                 stats = accum.compute()
                 val_metric = stats[key_metric]
-                writer.scalar(f"val/{key_metric}", val_metric, epoch + 1)
+                # every val stat as a scalar + per-task extras, mirroring the
+                # reference's val rounds (segmentation.py:215-226 image grids,
+                # classification.py:214-227 ROC figure)
+                for sk, sv in stats.items():
+                    if np.isscalar(sv) or getattr(sv, "ndim", 1) == 0:
+                        writer.scalar(f"val/{sk}", float(sv), epoch + 1)
+                if task == "seg" and vis:
+                    images_u8, gt, logits = vis[0]
+                    n = min(4, len(images_u8))
+                    writer.images("val/input_images",
+                                  images_u8[:n].astype(np.float32)[:, None]
+                                  / 255.0, epoch + 1)
+                    writer.images("val/label_images",
+                                  gt[:n].astype(np.float32), epoch + 1)
+                    writer.images("val/pred_images",
+                                  np.argmax(logits[:n], axis=1)[:, None]
+                                  .astype(np.float32), epoch + 1)
+                elif task == "cls":
+                    import matplotlib.pyplot as plt
+
+                    fig, _ = roc_figure(*accum.all())
+                    writer.figure("val/roc_curve", fig, epoch + 1)
+                    plt.close(fig)
                 logging.info(f"Epoch {epoch + 1}: loss={epoch_loss / max(nb, 1):.4f} "
                              f"val {key_metric}={val_metric:.4f}")
                 if stopper.update(val_metric, epoch):

@@ -46,8 +46,9 @@ def visualize_seg(images, labels, preds, file_names, viz_path):
         Image.fromarray(prd).save(os.path.join(viz_path, f"{stem}_pred.png"))
 
 
-def plot_roc(logits, labels, save_path: str, title: str = ""):
-    """ROC figure from 2-class logits; returns AUC."""
+def roc_figure(logits, labels, title: str = ""):
+    """ROC matplotlib figure from 2-class logits; returns (fig, auc). The
+    caller owns the figure (save it, hand it to TBWriter.figure, close it)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -68,6 +69,14 @@ def plot_roc(logits, labels, save_path: str, title: str = ""):
     ax.set_ylabel("True Positive Rate")
     ax.grid(True, alpha=0.3)
     ax.set_title(title or f"AUC = {auc:.4f}")
+    return fig, auc
+
+
+def plot_roc(logits, labels, save_path: str, title: str = ""):
+    """ROC figure from 2-class logits saved as PNG; returns AUC."""
+    import matplotlib.pyplot as plt
+
+    fig, auc = roc_figure(logits, labels, title)
     os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
     fig.savefig(save_path, bbox_inches="tight")
     plt.close(fig)
