@@ -314,8 +314,10 @@ def eval_bench():
         dts.append(time.perf_counter() - t0)
     dt = min(dts)
 
-    n_chips = jax.device_count()
-    img_per_s = batch * STEPS / dt / n_chips
+    # the fwd runs on ONE device (make_zero_shot_logits_fn with mesh=None is
+    # a plain jit) — do NOT divide by jax.device_count(), which would
+    # under-report per-chip throughput on multi-device hosts
+    img_per_s = batch * STEPS / dt
     print(json.dumps({
         "metric": "BUSI zero-shot eval images/sec/chip",
         "value": round(img_per_s, 2),

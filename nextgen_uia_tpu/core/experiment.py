@@ -100,6 +100,12 @@ class TBWriter:
         except Exception:
             self._w = None
 
+    @property
+    def enabled(self) -> bool:
+        """False when tensorboard is unavailable — callers can skip building
+        expensive payloads (image grids, matplotlib figures) entirely."""
+        return self._w is not None
+
     def scalar(self, tag: str, value: float, step: int):
         if self._w is not None:
             self._w.add_scalar(tag, value, step)

@@ -48,6 +48,20 @@ def make_optimizer(cfg: TrainConfig):
                        weight_decay=cfg.weight_decay), schedule
 
 
+def cosine_lr_value(cfg: TrainConfig, count: int) -> float:
+    """Host-side value of make_optimizer's cosine schedule at 0-indexed
+    update ``count`` — same formula as optax.cosine_decay_schedule, in pure
+    Python so per-update lr logging never dispatches to the device (the
+    relay's fetch RTT makes a jnp call per update prohibitive)."""
+    import math
+
+    steps = max(cfg.total_updates, 1)
+    t = min(max(count, 0), steps)
+    alpha = cfg.lr_min / cfg.lr if cfg.lr > 0 else 0.0
+    return cfg.lr * ((1 - alpha) * 0.5 * (1 + math.cos(math.pi * t / steps))
+                     + alpha)
+
+
 def init_state(trainable_params, optimizer):
     return {"params": trainable_params, "opt": optimizer.init(trainable_params),
             "step": jnp.zeros((), jnp.int32)}

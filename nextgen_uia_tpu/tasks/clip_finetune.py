@@ -321,6 +321,10 @@ def finetune_main(family: str, argv=None):
             epoch_loss += loss
             nb += 1
             writer.scalar("train/loss_per_update", loss, update_count)
+            # lr used by this update (finetune.py:307 logs get_last_lr();
+            # optax applied sched(update_count-1) for the 0-indexed count)
+            writer.scalar("train/lr", T.cosine_lr_value(tcfg, update_count - 1),
+                          update_count)
             if int(m["skipped"]):
                 logging.warning(f"{int(m['skipped'])} non-finite microbatches skipped "
                                 f"at update {update_count}")

@@ -76,6 +76,11 @@ def np_criterion_for(task: str):
     return lambda lo, la: float(dice_ce_loss(jnp.asarray(lo), jnp.asarray(la)))
 
 
+def to_nchw01(images_u8):
+    """Grayscale uint8 [B,H,W] -> NCHW float [0,1] (overlay/TB-grid layout)."""
+    return images_u8.astype(np.float32)[:, None, :, :] / 255.0
+
+
 def finish_cls(args, acc, stats, run_path, fig_name):
     logits, labels = acc.all()
     df_stats = {k: stats[k] for k in ("acc", "rec", "pre", "f1", "auc")}
@@ -94,7 +99,7 @@ def finish_seg(args, stats, names, vis, run_path):
     viz_path = os.path.join(folder, "viz")
     rest = list(names)
     for images_u8, gt, logits in vis:
-        imgs = images_u8.astype(np.float32)[:, None, :, :] / 255.0
+        imgs = to_nchw01(images_u8)
         visualize_seg(imgs, gt, one_hot_argmax(logits), rest[:len(imgs)], viz_path)
         rest = rest[len(imgs):]
     archive_log(run_path, folder)
@@ -184,7 +189,7 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
                              beta2=getattr(args, "beta2", 0.95),
                              grad_clip=0.0,
                              accum_steps=1, total_updates=steps_per_epoch * args.epochs)
-        opt, sched = T.make_optimizer(tcfg)
+        opt, _ = T.make_optimizer(tcfg)
         state = T.init_state(trainable, opt)
         if n_dp > 1 and args.batch_size % n_dp != 0:
             raise ValueError(f"batch_size {args.batch_size} must be divisible "
@@ -232,7 +237,12 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
                 nb += 1
             writer.scalar("train/loss", epoch_loss / max(nb, 1), epoch + 1)
 
-            writer.scalar("train/lr", float(sched(state["step"])), epoch + 1)
+            # lr of the LAST update taken this epoch (the reference logs
+            # scheduler.get_last_lr(); optax applies sched(k) at 0-indexed
+            # update k — host-side closed form, no device dispatch)
+            writer.scalar("train/lr",
+                          T.cosine_lr_value(tcfg, int(state["step"]) - 1),
+                          epoch + 1)
 
             if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
                 trainable_now = state["params"]
@@ -241,22 +251,22 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
                 val_metric = stats[key_metric]
                 # every val stat as a scalar + per-task extras, mirroring the
                 # reference's val rounds (segmentation.py:215-226 image grids,
-                # classification.py:214-227 ROC figure)
+                # classification.py:214-227 ROC figure); payloads are only
+                # built when tensorboard is actually attached
                 for sk, sv in stats.items():
                     if np.isscalar(sv) or getattr(sv, "ndim", 1) == 0:
                         writer.scalar(f"val/{sk}", float(sv), epoch + 1)
-                if task == "seg" and vis:
+                if task == "seg" and vis and writer.enabled:
                     images_u8, gt, logits = vis[0]
                     n = min(4, len(images_u8))
                     writer.images("val/input_images",
-                                  images_u8[:n].astype(np.float32)[:, None]
-                                  / 255.0, epoch + 1)
+                                  to_nchw01(images_u8[:n]), epoch + 1)
                     writer.images("val/label_images",
                                   gt[:n].astype(np.float32), epoch + 1)
                     writer.images("val/pred_images",
                                   np.argmax(logits[:n], axis=1)[:, None]
                                   .astype(np.float32), epoch + 1)
-                elif task == "cls":
+                elif task == "cls" and writer.enabled:
                     import matplotlib.pyplot as plt
 
                     fig, _ = roc_figure(*accum.all())

@@ -364,3 +364,14 @@ def test_sharded_apply_single_device_passthrough():
     assert dp == 1 and sharding is None
     out = apply({"s": jnp.float32(2.0)}, {}, {"x": jnp.ones((3,))})
     np.testing.assert_allclose(np.asarray(out), 2.0 * np.ones(3))
+
+
+def test_cosine_lr_value_matches_optax_schedule():
+    """Host-side lr logging helper must equal make_optimizer's actual
+    schedule at every non-negative update count (clamped at 0 below)."""
+    cfg = T.TrainConfig(lr=1e-4, lr_min=1e-8, total_updates=37)
+    _, sched = T.make_optimizer(cfg)
+    for k in [0, 1, 5, 18, 36, 37, 40]:
+        # optax evaluates in f32; the host helper in f64
+        assert abs(float(sched(k)) - T.cosine_lr_value(cfg, k)) < 1e-6 * cfg.lr
+    assert T.cosine_lr_value(cfg, -1) == cfg.lr  # "before any update" = init
