@@ -164,6 +164,11 @@ def input_pipeline_bench(n_images: int = 1024, epochs: int = 2):
     from __graft_entry__ import _flagship
 
     workers = int(os.environ.get("NEXTGEN_UIA_BENCH_WORKERS", "8"))
+    if BATCH > n_images:
+        raise SystemExit(
+            f"NEXTGEN_UIA_BENCH_BATCH={BATCH} exceeds the {n_images} generated "
+            "images — drop_last would yield zero batches. Lower the batch size "
+            "or raise n_images.")
     root = tempfile.mkdtemp(prefix="uia_input_bench_")
     rng = np.random.default_rng(0)
     paths = []

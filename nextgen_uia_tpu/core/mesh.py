@@ -70,19 +70,12 @@ def param_spec(path: str, shape, *, model_axis_size: int, min_size: int = 2 ** 1
     return P()
 
 
-def shard_params(params, mesh: Mesh):
-    """Device_put a param pytree according to param_spec policy."""
-    from .partition import path_str
-
-    def place(path, v):
-        spec = param_spec(path_str(path), np.shape(v), model_axis_size=mesh.shape["model"])
-        return jax.device_put(v, NamedSharding(mesh, spec))
-
-    return jax.tree_util.tree_map_with_path(place, params)
-
-
 def param_pspecs(params, mesh: Mesh):
-    """The PartitionSpec tree matching shard_params (for shard_map in_specs)."""
+    """The PartitionSpec tree from param_spec policy (for shard_map in_specs).
+
+    Canonical path-to-spec traversal: param_shardings and shard_params are
+    thin derivations so the policy application lives in exactly one place.
+    """
     from .partition import path_str
 
     def spec_of(path, v):
@@ -94,10 +87,12 @@ def param_pspecs(params, mesh: Mesh):
 
 def param_shardings(params, mesh: Mesh):
     """The NamedSharding tree matching shard_params (for jit in_shardings)."""
-    from .partition import path_str
+    return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s),
+                                  param_pspecs(params, mesh),
+                                  is_leaf=lambda s: isinstance(s, P))
 
-    def spec_of(path, v):
-        return NamedSharding(
-            mesh, param_spec(path_str(path), np.shape(v), model_axis_size=mesh.shape["model"]))
 
-    return jax.tree_util.tree_map_with_path(spec_of, params)
+def shard_params(params, mesh: Mesh):
+    """Device_put a param pytree according to param_spec policy."""
+    return jax.tree_util.tree_map(jax.device_put, params,
+                                  param_shardings(params, mesh))

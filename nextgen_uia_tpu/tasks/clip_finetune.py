@@ -34,8 +34,9 @@ from ..data import datasets as D
 from ..data import pipeline as P
 from ..losses import info_nce
 from ..models import clip as clip_mod
-from .common import (base_parser, build_clip_model, get_text_tokenizer,
-                     require_real_tokenizer, seed_everything, setup_run)
+from .common import (apply_compat_flags, base_parser, build_clip_model,
+                     get_text_tokenizer, require_real_tokenizer,
+                     seed_everything, setup_run)
 
 
 def _finetune_parser(family: str):
@@ -106,6 +107,7 @@ def finetune_main(family: str, argv=None):
     run_path = os.path.join("runs", args.exp)
     os.makedirs(run_path, exist_ok=True)
     setup_logging(args, run_path)
+    apply_compat_flags(args)
     args.train_snapshot_path = run_path
 
     if args.method == "full" and args.lr > 1e-5:
@@ -298,11 +300,13 @@ def finetune_main(family: str, argv=None):
     k = jax.random.fold_in(rng, 1)
 
     update_count = 0
+    applied_count = 0  # updates actually taken (fully-skipped ones revert optax)
     start_epoch = 0
     if args.resume and os.path.exists(last_path):
         state, meta = ckpt.load_train_state(last_path, state)
         start_epoch = int(meta.get("epoch", 0))
         update_count = int(meta.get("update_count", 0))
+        applied_count = int(meta.get("applied_count", update_count))
         stopper.best = meta.get("best")
         stopper.best_step = int(meta.get("best_epoch", -1))
         stopper.counter = int(meta.get("patience_counter", 0))
@@ -317,16 +321,21 @@ def finetune_main(family: str, argv=None):
             k, k1 = jax.random.split(k)
             state, m = step(state, frozen_train, mb, k1)
             update_count += 1
+            n_skip = int(m["skipped"])
+            if n_skip < tcfg.accum_steps:
+                applied_count += 1
             loss = float(m["loss"])
             epoch_loss += loss
             nb += 1
             writer.scalar("train/loss_per_update", loss, update_count)
             # lr used by this update (finetune.py:307 logs get_last_lr();
-            # optax applied sched(update_count-1) for the 0-indexed count)
-            writer.scalar("train/lr", T.cosine_lr_value(tcfg, update_count - 1),
+            # optax applied sched(applied_count-1) for the 0-indexed count of
+            # TAKEN updates — a fully-skipped update reverts the schedule
+            # count, so the host counter must not advance past it either)
+            writer.scalar("train/lr", T.cosine_lr_value(tcfg, applied_count - 1),
                           update_count)
-            if int(m["skipped"]):
-                logging.warning(f"{int(m['skipped'])} non-finite microbatches skipped "
+            if n_skip:
+                logging.warning(f"{n_skip} non-finite microbatches skipped "
                                 f"at update {update_count}")
 
         def val_batches():
@@ -359,6 +368,7 @@ def finetune_main(family: str, argv=None):
                          f"with validation loss {stopper.best:.4f}")
         ckpt.save_train_state(last_path, state, extra={
             "epoch": epoch + 1, "update_count": update_count,
+            "applied_count": applied_count,
             "best": stopper.best, "best_epoch": stopper.best_step,
             "patience_counter": stopper.counter})
         if stopper.should_stop:

@@ -149,7 +149,10 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
             merge(tp, fz["params"]), fz["bn"], img),
         mesh, frozen_specs=eval_frozen_specs)
 
-    def evaluate(split, trainable_p, bn_state):
+    def evaluate(split, trainable_p, bn_state, max_vis_batches=None):
+        """max_vis_batches caps how many (image, gt, logits) payload batches
+        are kept host-side — val rounds need at most one (for the TB grid),
+        only the final test pass keeps them all (overlay PNGs)."""
         accum = (ClsAccumulator if task == "cls" else SegAccumulator)(
             criterion=np_criterion_for(task))
         names, vis = [], []
@@ -172,7 +175,9 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
                 gt = np.asarray(batch["mask"])[:n_real, None, :, :]
                 accum.update(logits, gt)
                 names.extend(batch["name"][:n_real])
-                vis.append((np.asarray(batch["image"])[:n_real], gt, logits))
+                if max_vis_batches is None or len(vis) < max_vis_batches:
+                    vis.append((np.asarray(batch["image"])[:n_real], gt,
+                                logits))
         return accum, names, vis
 
     bn_state = bundle.bn_state
@@ -211,6 +216,7 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
 
         k = jax.random.fold_in(jax.random.key(args.seed), 123)
         drop_last = n_train > args.batch_size
+        applied_updates = 0  # fully-skipped updates revert the optax schedule
         for epoch in range(args.epochs):
             epoch_loss, nb = 0.0, 0
             def microbatched():
@@ -233,20 +239,25 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
                 state, m = step(state, frozen_pack, mb, k1)
                 if bn_state is not None:
                     bn_state = m["aux"]
+                if int(m["skipped"]) < tcfg.accum_steps:
+                    applied_updates += 1
                 epoch_loss += float(m["loss"])
                 nb += 1
             writer.scalar("train/loss", epoch_loss / max(nb, 1), epoch + 1)
 
             # lr of the LAST update taken this epoch (the reference logs
-            # scheduler.get_last_lr(); optax applies sched(k) at 0-indexed
-            # update k — host-side closed form, no device dispatch)
+            # scheduler.get_last_lr(); optax applies sched(k) at the 0-indexed
+            # count of TAKEN updates — fully-skipped ones revert the schedule
+            # count, so count applied updates host-side, not state['step'])
             writer.scalar("train/lr",
-                          T.cosine_lr_value(tcfg, int(state["step"]) - 1),
+                          T.cosine_lr_value(tcfg, applied_updates - 1),
                           epoch + 1)
 
             if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
                 trainable_now = state["params"]
-                accum, _, vis = evaluate("val", trainable_now, bn_state)
+                accum, _, vis = evaluate(
+                    "val", trainable_now, bn_state,
+                    max_vis_batches=1 if writer.enabled else 0)
                 stats = accum.compute()
                 val_metric = stats[key_metric]
                 # every val stat as a scalar + per-task extras, mirroring the

@@ -80,3 +80,27 @@ def test_reference_flags_accepted(family, task, path, monkeypatch):
     assert not missing, (
         f"reference {family}/{task}.py flags not accepted by the shim: "
         f"{sorted(missing)}")
+
+
+def test_finetune_resolves_ckpt_compat_flag(monkeypatch, tmp_path):
+    """--ckpt <npz> must reach build_clip_model as backbone_ckpt in the
+    finetune driver too (it has its own setup path that previously skipped
+    apply_compat_flags — round-3 review fix)."""
+    from nextgen_uia_tpu.tasks import clip_finetune as F
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    def fake_build(args, family, adapter=None, rng=None):
+        captured["backbone_ckpt"] = args.backbone_ckpt
+        raise _Stop
+
+    monkeypatch.setattr(F, "build_clip_model", fake_build)
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(_Stop):
+        F.finetune_main("biomedclip", [
+            "--exp", "t", "--dataset", "busi", "--method", "mona",
+            "--debug_tiny", "--ckpt", "weights.npz"])
+    assert captured["backbone_ckpt"] == "weights.npz"
