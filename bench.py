@@ -332,7 +332,41 @@ def eval_bench():
     }))
 
 
+def _require_devices(timeout_s: float):
+    """Fail fast if the backend cannot be reached.
+
+    On the axon platform the first jax.devices() call opens the TPU relay
+    tunnel; when the relay is down that call hangs INDEFINITELY (observed:
+    >3 min with no error), which would hang the whole bench run. Probe it on
+    a daemon thread with a deadline and exit(1) with a diagnostic instead.
+    """
+    import sys
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            result["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # surfaced below
+            result["error"] = repr(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        print(f"bench.py: backend init did not respond within {timeout_s:.0f}s "
+              "(TPU relay down or unreachable) — aborting instead of hanging",
+              file=sys.stderr)
+        os._exit(1)
+    if "error" in result:
+        print(f"bench.py: backend init failed: {result['error']}", file=sys.stderr)
+        os._exit(1)
+
+
 if __name__ == "__main__":
+    _require_devices(float(os.environ.get(
+        "NEXTGEN_UIA_BENCH_DEVICE_TIMEOUT", "600")))
     if INPUT_MODE:
         input_pipeline_bench()
     elif EVAL_MODE:
