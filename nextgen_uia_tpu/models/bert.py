@@ -37,6 +37,11 @@ class BertConfig:
     pad_id: int = 0
     mlp_impl: str = "auto"   # 'xla' required when BERT MLP weights train
     lora_alpha: float = 32.0  # scaling for text-tower LoRA slots (alpha/sqrt(r))
+    # 'fused_infer' = whole-layer Pallas megakernel (ops/fused_block.py,
+    # FORWARD-ONLY contract) — set on eval paths and on the frozen in-step
+    # text tower (its output never feeds jax.grad); 'auto' = per-sublayer
+    # fused kernels.
+    block_impl: str = "auto"
 
 
 def bert_init(rng, cfg: BertConfig):
@@ -120,6 +125,21 @@ def bert_apply(p, cfg: BertConfig, token_ids, *, attention_mask=None, dtype=None
 
     fully_fused = (cfg.mlp_impl == "auto" and _fused_bert_enabled()
                    and jax.default_backend() == "tpu")
+    # whole-layer megakernel: measured SLOWER than the 3-kernel chain for
+    # BERT-256 on v5e (21.5 vs 20.7 ms/batch-64 fwd, bench/smoke_fused_block)
+    # — post-norm LNs already fuse into the chain's epilogues, so the
+    # megakernel only removes HBM hops the pipeline was hiding. Opt-in for
+    # re-measurement on other parts; force mode serves the CPU wiring tests.
+    mega = False
+    if cfg.block_impl == "fused_infer" and cfg.mlp_impl == "auto":
+        import os
+
+        from ..ops.fused_block import fused_block_enabled
+
+        mode = fused_block_enabled()
+        opt_in = os.environ.get("NEXTGEN_UIA_FUSED_BLOCK_BERT") == "1"
+        mega = mode != "0" and ((jax.default_backend() == "tpu" and opt_in)
+                                or mode == "force")
     for layer in p["layers"]:
         # post-norm residual blocks (HF BERT layout). The frozen in-step
         # tower runs the whole layer through three Pallas kernels (head-major
@@ -127,6 +147,18 @@ def bert_apply(p, cfg: BertConfig, token_ids, *, attention_mask=None, dtype=None
         # mlp_impl=='auto' exactly like the ViT/text blocks: full fine-tuning
         # (--tune_text_encoder, mlp_impl='xla') must keep every projection
         # and LN differentiable in XLA.
+        if mega and "lora" not in layer["attn"]:
+            # forward-only whole-layer megakernel: one HBM read + write
+            # per layer (ops/fused_block.py)
+            from ..ops.fused_block import fused_block_infer
+
+            xx = x if dtype is None else x.astype(dtype)
+            y = fused_block_infer(xx, layer, heads=cfg.heads, act="gelu",
+                                  eps=cfg.ln_eps, key_bias=pad_bias,
+                                  layout="postnorm")
+            if y is not None:
+                x = y
+                continue
         if fully_fused and "lora" not in layer["attn"]:
             y = _fused_bert_layer(layer, x, cfg, pad_bias, dtype)
             if y is not None:

@@ -70,6 +70,24 @@ def clip_init(rng, cfg: CLIPConfig):
     }
 
 
+def infer_cfg(cfg: CLIPConfig, *, vision: bool = True,
+              text: bool = True) -> CLIPConfig:
+    """Forward-only variant of a CLIP config: every eligible tower block runs
+    through the whole-block Pallas megakernel (ops/fused_block.py). Use ONLY
+    on paths jax.grad never differentiates — eval/zero-shot/retrieval
+    forwards and frozen in-step text towers: the megakernel's backward is a
+    slow XLA recomposition (correct, but it defeats the composed backward
+    kernels). ``vision=False``/``text=False`` keep that tower on the
+    composed path (e.g. the train step's image tower, which IS
+    differentiated, alongside its frozen in-step text tower)."""
+    kw = {}
+    if vision:
+        kw["vision"] = dataclasses.replace(cfg.vision, block_impl="fused_infer")
+    if text:
+        kw["text"] = dataclasses.replace(cfg.text, block_impl="fused_infer")
+    return dataclasses.replace(cfg, **kw)
+
+
 def encode_image(params, cfg: CLIPConfig, images, *, rng=None, extract_layers=()):
     """images [B, H, W, 3] -> ([B, embed], activations)."""
     return vit_apply(params["visual"], cfg.vision, images,

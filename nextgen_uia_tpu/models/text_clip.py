@@ -30,12 +30,18 @@ class TextConfig:
     act: str = "quick_gelu"
     ln_eps: float = 1e-5
     mlp_impl: str = "auto"   # 'xla' required when text MLP weights train
+    # 'fused_infer' = whole-block megakernel on forward-only paths
+    # (ops/fused_block.py); the 77-token sequence is padded to a sublane
+    # multiple first — with causal attention the pad columns are invisible
+    # to real rows and pad rows are never EOT-pooled, so this is exact.
+    block_impl: str = "auto"
 
 
 def _as_vit_cfg(cfg: TextConfig) -> ViTConfig:
     # Text blocks share the pre-norm block implementation with the ViT.
     return ViTConfig(width=cfg.width, heads=cfg.heads, depth=cfg.depth,
-                     act=cfg.act, ln_eps=cfg.ln_eps, mlp_impl=cfg.mlp_impl)
+                     act=cfg.act, ln_eps=cfg.ln_eps, mlp_impl=cfg.mlp_impl,
+                     block_impl=cfg.block_impl)
 
 
 def text_init(rng, cfg: TextConfig):
@@ -54,8 +60,16 @@ def text_apply(p, cfg: TextConfig, token_ids, *, dtype=None):
     x = embedding(p["token_embedding"], token_ids, dtype=dtype)
     x = x + p["pos"][: x.shape[1]].astype(x.dtype)
     blk_cfg = _as_vit_cfg(cfg)
+    n_real = x.shape[1]
+    if cfg.block_impl == "fused_infer":
+        # pad rows to the kernel sublane tile — exact under causal attention
+        # (real rows never see later pad columns; pad rows are never pooled)
+        sub = 16 if x.dtype == jnp.bfloat16 else 8
+        if n_real % sub:
+            x = jnp.pad(x, ((0, 0), (0, sub - n_real % sub), (0, 0)))
     for blk in p["blocks"]:
         x = _text_block(blk, x, blk_cfg, dtype=dtype)
+    x = x[:, :n_real]
     x = layernorm(p["ln_final"], x, eps=cfg.ln_eps)
     # EOT pooling: feature at the position of the max token id (model.py:372)
     eot = jnp.argmax(token_ids, axis=-1)
@@ -67,6 +81,17 @@ def _text_block(p, x, cfg: ViTConfig, *, dtype=None):
     from ..nn.attention import mha
     from .vit import run_mlp
 
+    if cfg.block_impl == "fused_infer" and cfg.mlp_impl == "auto":
+        # forward-only whole-block megakernel (ops/fused_block.py)
+        from ..ops.fused_block import fused_block_enabled, fused_block_infer
+
+        mode = fused_block_enabled()
+        if mode != "0" and (jax.default_backend() == "tpu" or mode == "force"):
+            xx = x if dtype is None else x.astype(dtype)
+            out = fused_block_infer(xx, p, heads=cfg.heads, act=cfg.act,
+                                    eps=cfg.ln_eps, causal=True)
+            if out is not None:
+                return out
     if cfg.mlp_impl == "auto":
         # frozen tower: raw x + ln1 + residual lets the TPU path fuse LN
         # into q/k/v and the o-proj + skip add into the attention kernel;

@@ -72,6 +72,12 @@ class ViTConfig:
     # kernel's bf16 sublane tile, so the kernel needs NO internal pad copies
     # (profiled at 2.7 ms/step for the 200->208 re-pads). 1 disables.
     token_pad: int = 16
+    # 'fused_infer' runs each eligible block through the whole-block Pallas
+    # megakernel (ops/fused_block.py — FORWARD-ONLY contract: its backward is
+    # a slow XLA recomposition). Set ONLY on forward-only paths: eval/
+    # zero-shot/retrieval drivers (models.clip.infer_cfg) and frozen towers
+    # whose output jax.grad never differentiates. 'auto' = composed kernels.
+    block_impl: str = "auto"
 
     @property
     def grid(self) -> int:
@@ -150,6 +156,26 @@ def block_apply(p, x, cfg: ViTConfig, *, dtype=None, rng=None,
     key_bias/n_real support once-padded token sequences: padded keys are
     masked in attention, and MONA operates on the real prefix only.
     """
+    if (cfg.block_impl == "fused_infer" and cfg.mlp_impl == "auto"
+            and "ls1" not in p and "ls2" not in p):
+        # forward-only whole-block megakernel (ops/fused_block.py) — eval /
+        # frozen-tower paths only; falls through when ineligible
+        from ..ops.fused_block import fused_block_enabled, fused_block_infer
+
+        mode = fused_block_enabled()
+        if mode != "0" and (jax.default_backend() == "tpu" or mode == "force"):
+            xx = x if dtype is None else x.astype(dtype)
+            out = fused_block_infer(xx, p, heads=cfg.heads, act=cfg.act,
+                                    eps=cfg.ln_eps, key_bias=key_bias,
+                                    n_real=n_real)
+            if out is not None:
+                if "mona" in p:
+                    mona_rng = None
+                    if rng is not None:
+                        rng, mona_rng = jax.random.split(rng)
+                    out = mona_apply(p["mona"], out, (cfg.grid, cfg.grid),
+                                     variant=cfg.mona_variant, rng=mona_rng)
+                return out
     if cfg.mlp_impl == "auto":
         # frozen tower: hand mha the raw x + ln1 (+ the residual, when no
         # LayerScale sits between branch and skip) so the TPU path can fuse

@@ -192,10 +192,18 @@ def finetune_main(family: str, argv=None):
     use_text_cache = args.cache_text_features and not args.tune_text_encoder
     text_cache = {}
 
+    # forward-only cfg variants (whole-block megakernel, models.clip.infer_cfg):
+    # eval forwards always qualify; the TRAIN step's text tower qualifies iff
+    # it is frozen (no --tune_text_encoder) — its output is then constant
+    # w.r.t. the trainable tree, so jax.grad never differentiates it
+    eval_cfg = clip_mod.infer_cfg(cfg)
+    step_cfg = (cfg if args.tune_text_encoder
+                else clip_mod.infer_cfg(cfg, vision=False))
+
     def cache_text_features(rows_list):
         captions = sorted({c for rows in rows_list for _, c in rows})
         chunk = 256
-        enc = jax.jit(lambda p, t: clip_mod.encode_text(p, cfg, t))
+        enc = jax.jit(lambda p, t: clip_mod.encode_text(p, eval_cfg, t))
         for s in range(0, len(captions), chunk):
             part = captions[s:s + chunk]
             toks = np.asarray(tokenizer(part, ctx))
@@ -213,7 +221,7 @@ def finetune_main(family: str, argv=None):
         if use_text_cache:
             txt_feats = batch["txt_feat"]
         else:
-            txt_feats = clip_mod.encode_text(p, cfg, batch["tokens"])
+            txt_feats = clip_mod.encode_text(p, step_cfg, batch["tokens"])
         if n_dp > 1:
             # global-batch negatives: gather features over the data axis so
             # InfoNCE sees the full batch — exact reference semantics
@@ -250,11 +258,11 @@ def finetune_main(family: str, argv=None):
     def _val_encode_fn(trainable_p, frozen_p, batch):
         p = merge(trainable_p, frozen_p)
         x = batch["image"].astype(jnp.float32) / 255.0
-        img_feats, _ = clip_mod.encode_image(p, cfg, x)
+        img_feats, _ = clip_mod.encode_image(p, eval_cfg, x)
         if use_text_cache:
             txt_feats = batch["txt_feat"]
         else:
-            txt_feats = clip_mod.encode_text(p, cfg, batch["tokens"])
+            txt_feats = clip_mod.encode_text(p, eval_cfg, batch["tokens"])
         return img_feats, txt_feats
 
     val_encode, val_sharding, val_dp = T.make_sharded_apply(
@@ -507,10 +515,12 @@ def retrieval_main(family: str, argv=None):
 
     ctx = cfg.text.context_length
 
+    ecfg = clip_mod.infer_cfg(cfg)  # forward-only: whole-block megakernel
+
     def _feats_fn(p, _frozen, batch):
         x = batch["image"].astype(jnp.float32) / 255.0
-        img, _ = clip_mod.encode_image(p, cfg, x)
-        txt = clip_mod.encode_text(p, cfg, batch["tokens"])
+        img, _ = clip_mod.encode_image(p, ecfg, x)
+        txt = clip_mod.encode_text(p, ecfg, batch["tokens"])
         return clip_mod.normalize(img), clip_mod.normalize(txt)
 
     # retrieval encoding runs data-parallel over the mesh (--n_data/--n_model;

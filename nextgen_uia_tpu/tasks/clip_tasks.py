@@ -58,7 +58,8 @@ def build_text_features(params, cfg, tokenizer, ensemble, *, classes=None):
     (zero_shot.py:176-187). Shared by the driver and the composite golden
     pipeline test."""
     classes = classes or PR.LESION_TYPES
-    encode_text = jax.jit(lambda p, t: clip_mod.encode_text(p, cfg, t))
+    ecfg = clip_mod.infer_cfg(cfg)  # forward-only: whole-block megakernel
+    encode_text = jax.jit(lambda p, t: clip_mod.encode_text(p, ecfg, t))
     text_feats = {}
     for cls_name in classes:
         tokens = jnp.asarray(tokenizer(ensemble[cls_name]))
@@ -76,12 +77,13 @@ def make_zero_shot_logits_fn(cfg, text_feats, *, classes=None, mesh=None):
     callable carries ``.batch_sharding`` / ``.dp_width`` attributes for the
     caller's prefetch + ragged-batch padding."""
     classes = classes or PR.LESION_TYPES
+    ecfg = clip_mod.infer_cfg(cfg)  # forward-only: whole-block megakernel
 
     def fwd(p, _frozen, images_u8):
         x = images_u8.astype(jnp.float32) / 255.0
         if x.ndim == 3:  # grayscale [B, H, W]
             x = jnp.repeat(x[..., None], 3, axis=-1)
-        feats, _ = clip_mod.encode_image(p, cfg, x)
+        feats, _ = clip_mod.encode_image(p, ecfg, x)
         feats = clip_mod.normalize(feats)
         cols = [jnp.mean(100.0 * feats @ text_feats[c].T, axis=1)
                 for c in classes]
@@ -197,6 +199,8 @@ def _build_supervised(args, family: str, task: str, rng):
 
 def _make_forward(cfg, hcfg, args, *, train: bool):
     use_augs = train and (args.strong_augs or args.weak_augs)
+    if not train:
+        cfg = clip_mod.infer_cfg(cfg)  # forward-only: whole-block megakernel
 
     def forward(params, images_u8, masks_u8, rng):
         x = images_u8.astype(jnp.float32) / 255.0

@@ -94,10 +94,15 @@ def clipseg_segmentation_main(argv=None):
 
     datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="seg")
 
+    # decoder-only training: the CLIP towers are fully frozen, so jax.grad
+    # never differentiates them even in the train step — the forward-only
+    # whole-block megakernel applies everywhere here (models.clip.infer_cfg)
+    icfg = clip_mod.infer_cfg(cfg)
+
     def model_logits(params, x, train, rng):
-        _, acts = clip_mod.encode_image(params["backbone"], cfg, x,
+        _, acts = clip_mod.encode_image(params["backbone"], icfg, x,
                                         extract_layers=dcfg.extract_layers)
-        cond = clip_mod.encode_text(params["backbone"], cfg, prompt_tokens)
+        cond = clip_mod.encode_text(params["backbone"], icfg, prompt_tokens)
         cond = jnp.broadcast_to(cond, (x.shape[0], cond.shape[-1]))
         single = clipseg_decoder_apply(params["head"], dcfg, acts, cond)  # [B,H,W]
         # 1-channel -> 2-class logits by negation (clipseg_adapter.py:92-96)
