@@ -146,6 +146,97 @@ def _fullsize_dummy_trunk():
     return d
 
 
+def test_clipseg_decoder_fullsize_golden():
+    """CLIPSeg FiLM decoder at the REAL CIDAS/clipseg-rd64-refined dims:
+    768-wide ViT-B/16 activations at 352 px (485 tokens), reduce_dim 64,
+    heads 4, intermediate 2048, extract [3,6,9], complex transposed conv —
+    the shipped ClipSegDecoderConfig defaults (models/heads.py:117-126).
+    The toy golden (test_convert.py:79) runs at width 40 / 5 tokens."""
+    from transformers.models.clipseg.configuration_clipseg import CLIPSegConfig
+    from transformers.models.clipseg.modeling_clipseg import (
+        CLIPSegForImageSegmentation)
+
+    torch.manual_seed(4)
+    cfg_hf = CLIPSegConfig(
+        text_config=dict(hidden_size=512, intermediate_size=2048,
+                         num_hidden_layers=1, num_attention_heads=8,
+                         projection_dim=512),
+        vision_config=dict(hidden_size=768, intermediate_size=3072,
+                           num_hidden_layers=12, num_attention_heads=12,
+                           image_size=352, patch_size=16, projection_dim=512),
+        extract_layers=[3, 6, 9], reduce_dim=64, decoder_num_attention_heads=4,
+        decoder_intermediate_size=2048, conditional_layer=0,
+        use_complex_transposed_convolution=True, projection_dim=512)
+    # full model for correct _attn_implementation plumbing, but only the
+    # decoder is under test: the towers are separately golden-tested at full
+    # size (test_openai_clip_fullsize_golden covers the unified ViT), and
+    # the driver feeds OUR tower's activations into this decoder. Text depth
+    # 1 keeps the untested tower cheap.
+    full = CLIPSegForImageSegmentation(cfg_hf).eval()
+    dec = full.decoder
+
+    B, N = 2, (352 // 16) ** 2 + 1
+    acts = [torch.randn(B, N, 768) for _ in range(3)]
+    cond = torch.randn(B, 512)
+    with torch.no_grad():
+        ref = dec(hidden_states=tuple(acts), conditional_embeddings=cond)[0].numpy()
+
+    flat = C.convert_clipseg_decoder(full.state_dict(), depth=3)
+
+    from nextgen_uia_tpu.models.heads import (ClipSegDecoderConfig,
+                                              clipseg_decoder_apply,
+                                              clipseg_decoder_init)
+
+    dcfg = ClipSegDecoderConfig()  # shipped full-size defaults
+    params = clipseg_decoder_init(jax.random.key(0), dcfg)
+    params, n = _unflatten_into(params, flat)
+    assert n == len(flat)
+    ours = clipseg_decoder_apply(params, dcfg,
+                                 [jnp.asarray(a.numpy()) for a in acts],
+                                 jnp.asarray(cond.numpy()))
+    np.testing.assert_allclose(np.asarray(ours), ref.reshape(ours.shape),
+                               atol=ATOL, rtol=RTOL)
+
+
+@pytest.mark.skipif(not available(), reason="reference repo not mounted")
+def test_modified_resnet_fullsize_golden():
+    """CLIP ModifiedResNet at the REAL RN50 config (layers 3-4-6-3, width 64,
+    attnpool heads 32, 224 px, output 1024 — model.py:418-426 derives these
+    from the RN50 checkpoint). The toy golden (test_convert.py:240) runs at
+    width 16 / 64 px."""
+    ref_model = load("src/third_party/openai_clip/model.py",
+                     "ref_openai_model_full2")
+    torch.manual_seed(5)
+    m = ref_model.ModifiedResNet(layers=(3, 4, 6, 3), output_dim=1024,
+                                 heads=32, input_resolution=224,
+                                 width=64).float().eval()
+    for mod in m.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                mod.weight.uniform_(0.5, 1.5)
+                mod.bias.uniform_(-0.5, 0.5)
+                mod.running_mean.uniform_(-0.3, 0.3)
+                mod.running_var.uniform_(0.5, 1.5)
+    img = torch.randn(2, 3, 224, 224)
+    with torch.no_grad():
+        ref = m(img).numpy()
+
+    from nextgen_uia_tpu.models import clip_resnet as CR
+
+    cfg = CR.ModifiedResNetConfig(layers=(3, 4, 6, 3), output_dim=1024,
+                                  heads=32, input_resolution=224, width=64)
+    flat_p, flat_s = C.convert_modified_resnet(m.state_dict(),
+                                               layers=cfg.layers, prefix="")
+    params, state = CR.modified_resnet_init(jax.random.key(0), cfg)
+    params, np_ = _unflatten_into(params, flat_p)
+    state, ns_ = _unflatten_into(state, flat_s)
+    assert np_ == len(flat_p) and ns_ == len(flat_s)
+
+    out = CR.modified_resnet_apply(
+        params, state, jnp.asarray(img.numpy().transpose(0, 2, 3, 1)), cfg)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=2e-3)
+
+
 @pytest.mark.skipif(not available(), reason="reference repo not mounted")
 def test_dinov2_fullsize_golden():
     """vit_base/14 weights (12x768, LayerScale) driven at 224 px (257 tokens)
