@@ -54,6 +54,7 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     from nextgen_uia_tpu.adapters.mona import inject_mona
     from nextgen_uia_tpu.models.vit import VIT_B16_TIMM, vit_apply, vit_init
+    import nextgen_uia_tpu.models.vit as V
     import nextgen_uia_tpu.nn.attention as A
 
     rng = jax.random.PRNGKey(0)
@@ -73,13 +74,18 @@ def main():
     def run(name, c, *, einsum_attn=False, batch_imgs=None, p=params):
         x = imgs if batch_imgs is None else batch_imgs
         if einsum_attn:
+            # vit.py binds mha by value at import time — patch BOTH the
+            # source attribute and vit's module-global binding, or the
+            # einsum variant silently re-measures flash
             A.mha = functools.partial(orig_mha, impl="einsum")
+            V.mha = A.mha
         try:
             f = jax.jit(lambda pp, xx, c=c: vit_apply(pp, c, xx,
                                                       dtype=jnp.bfloat16)[0])
             dt = _time_fwd(f, p, x)
         finally:
             A.mha = orig_mha
+            V.mha = orig_mha
         b = x.shape[0]
         print(f"{name:10s}: {dt*1e3:6.2f} ms/batch-{b} ({b/dt:7.0f} img/s)",
               flush=True)

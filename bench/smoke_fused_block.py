@@ -10,6 +10,7 @@ Usage: python bench/smoke_fused_block.py [--time]
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 import time
 
@@ -66,6 +67,10 @@ def main():
     m = float(jnp.max(jnp.abs(outs["auto"])))
     print(f"ViT max abs diff: {d:.6f} (max |ref| {m:.3f})", flush=True)
 
+    # the BERT megakernel is opt-in on TPU (measured slower than the
+    # composed post-norm chain — bert.py gate); the A/B must force it on or
+    # the 'fused' variant silently re-times the composed path
+    os.environ["NEXTGEN_UIA_FUSED_BLOCK_BERT"] = "1"
     bcfg = BertConfig()
     bp = jax.device_put(bert_init(jax.random.fold_in(rng, 3), bcfg))
     ids = jax.random.randint(jax.random.fold_in(rng, 4), (B, 256), 1, 30000)

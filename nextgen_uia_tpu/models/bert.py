@@ -132,14 +132,9 @@ def bert_apply(p, cfg: BertConfig, token_ids, *, attention_mask=None, dtype=None
     # re-measurement on other parts; force mode serves the CPU wiring tests.
     mega = False
     if cfg.block_impl == "fused_infer" and cfg.mlp_impl == "auto":
-        import os
+        from ..ops.fused_block import fused_block_should_run
 
-        from ..ops.fused_block import fused_block_enabled
-
-        mode = fused_block_enabled()
-        opt_in = os.environ.get("NEXTGEN_UIA_FUSED_BLOCK_BERT") == "1"
-        mega = mode != "0" and ((jax.default_backend() == "tpu" and opt_in)
-                                or mode == "force")
+        mega = fused_block_should_run(opt_in_env="NEXTGEN_UIA_FUSED_BLOCK_BERT")
     for layer in p["layers"]:
         # post-norm residual blocks (HF BERT layout). The frozen in-step
         # tower runs the whole layer through three Pallas kernels (head-major

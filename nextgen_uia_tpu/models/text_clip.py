@@ -83,10 +83,9 @@ def _text_block(p, x, cfg: ViTConfig, *, dtype=None):
 
     if cfg.block_impl == "fused_infer" and cfg.mlp_impl == "auto":
         # forward-only whole-block megakernel (ops/fused_block.py)
-        from ..ops.fused_block import fused_block_enabled, fused_block_infer
+        from ..ops.fused_block import fused_block_infer, fused_block_should_run
 
-        mode = fused_block_enabled()
-        if mode != "0" and (jax.default_backend() == "tpu" or mode == "force"):
+        if fused_block_should_run():
             xx = x if dtype is None else x.astype(dtype)
             out = fused_block_infer(xx, p, heads=cfg.heads, act=cfg.act,
                                     eps=cfg.ln_eps, causal=True)

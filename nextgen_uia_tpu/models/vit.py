@@ -160,10 +160,9 @@ def block_apply(p, x, cfg: ViTConfig, *, dtype=None, rng=None,
             and "ls1" not in p and "ls2" not in p):
         # forward-only whole-block megakernel (ops/fused_block.py) — eval /
         # frozen-tower paths only; falls through when ineligible
-        from ..ops.fused_block import fused_block_enabled, fused_block_infer
+        from ..ops.fused_block import fused_block_infer, fused_block_should_run
 
-        mode = fused_block_enabled()
-        if mode != "0" and (jax.default_backend() == "tpu" or mode == "force"):
+        if fused_block_should_run():
             xx = x if dtype is None else x.astype(dtype)
             out = fused_block_infer(xx, p, heads=cfg.heads, act=cfg.act,
                                     eps=cfg.ln_eps, key_bias=key_bias,

@@ -60,6 +60,21 @@ def fused_block_enabled() -> str:
     return os.environ.get("NEXTGEN_UIA_FUSED_BLOCK", "1")
 
 
+def fused_block_should_run(opt_in_env: str | None = None) -> bool:
+    """The one gate shared by the tower call sites (vit.block_apply,
+    text_clip._text_block, bert_apply): mode x backend, plus an optional
+    EXTRA opt-in env var required on real TPU (the post-norm BERT variant is
+    measured slower there, so it defaults off outside 'force')."""
+    mode = fused_block_enabled()
+    if mode == "0":
+        return False
+    if mode == "force":
+        return True
+    if jax.default_backend() != "tpu":
+        return False
+    return opt_in_env is None or os.environ.get(opt_in_env) == "1"
+
+
 def _fwd_kernel(x_ref, ga_ref, ba_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                 wv_ref, bv_ref, wo_ref, bo_ref, gb_ref, bb_ref,
                 w1_ref, b1_ref, w2_ref, b2_ref, bias_ref, o_ref, *,

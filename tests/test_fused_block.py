@@ -65,21 +65,37 @@ def test_prenorm_padded_tokens_match():
 
 def test_vit_wiring_force_mode(monkeypatch):
     """block_impl='fused_infer' + force runs the kernel on CPU and matches
-    the composed path, including the MONA tail."""
-    from nextgen_uia_tpu.adapters.mona import mona_init
+    the composed path, including the MONA tail and the once-padded token
+    path. TINY's raw seq is 17 (4x4 grid + CLS, not sublane-aligned), so the
+    drive goes through vit_apply with token_pad=8 — 17 -> 24 padded tokens
+    with key_bias/n_real — exactly how eval forwards reach the kernel; a
+    spy asserts the kernel genuinely ran (17-token direct calls decline)."""
+    from nextgen_uia_tpu.adapters.mona import inject_mona
+    from nextgen_uia_tpu.models.vit import vit_apply, vit_init
+    import nextgen_uia_tpu.ops.fused_block as FB
 
-    cfg = TINY
+    cfg = dataclasses.replace(TINY, token_pad=8, mona_variant="hybrid")
     rng = jax.random.PRNGKey(3)
-    p = _block_params(rng, cfg)
-    p["mona"] = mona_init(jax.random.fold_in(rng, 5), cfg.width, 32,
-                          variant="hybrid")
-    x = jax.random.normal(jax.random.fold_in(rng, 1),
-                          (2, cfg.seq_len, cfg.width))
+    p = vit_init(rng, cfg)
+    p, _ = inject_mona(jax.random.fold_in(rng, 5), p, dim=cfg.width,
+                       variant="hybrid")
+    imgs = jax.random.normal(jax.random.fold_in(rng, 1),
+                             (2, cfg.image_size, cfg.image_size, 3))
 
-    ref = block_apply(p, x, cfg)
+    ref, _ = vit_apply(p, cfg, imgs)
+    calls = []
+    real = FB.fused_block_infer
+
+    def spy(x, *a, **k):
+        out = real(x, *a, **k)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(FB, "fused_block_infer", spy)
     monkeypatch.setenv("NEXTGEN_UIA_FUSED_BLOCK", "force")
     fused_cfg = dataclasses.replace(cfg, block_impl="fused_infer")
-    out = block_apply(p, x, fused_cfg)
+    out, _ = vit_apply(p, fused_cfg, imgs)
+    assert calls and all(calls), "megakernel never actually ran"
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-5, rtol=3e-5)
 
