@@ -1,0 +1,237 @@
+"""Batch inference / serving CLI — deployment surface beyond the reference.
+
+The reference evaluates registered datasets only; it has no way to run a
+trained model over arbitrary images. This driver is that missing production
+path: point it at a directory (or a .txt list) of images and it streams them
+through the shipped forward-only stack — whole-block Pallas megakernel
+towers (models.clip.infer_cfg), data-parallel over the device mesh
+(core/train.py::make_sharded_apply) with ragged tail batches padded and
+sliced back — and writes predictions to disk:
+
+  --task zero_shot   prompt-ensemble classification -> predictions.csv
+                     (per-class probabilities + argmax), no head weights
+                     needed (zero_shot.py semantics)
+  --task cls         trained PyramidHead classification -> predictions.csv
+  --task seg         trained PyramidHead segmentation -> <stem>_mask.png
+                     per image + index.csv
+
+Model assembly is the exact training-side path (tasks/common.py::
+build_clip_model + clip_tasks helpers): --backbone_ckpt for the converted
+towers, --mona_weights/--lora_weights for adapters, --head_weights for the
+trained head — so any checkpoint produced by the finetune/supervised
+drivers serves directly.
+
+--export <path> additionally serializes the jitted single-device forward as
+a portable StableHLO artifact via jax.export (round-tripped through
+deserialize+call before writing, so a written artifact is a working one).
+Serving hosts can then run inference without this package's model code.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import checkpoint as ckpt  # noqa: F401  (re-export convenience)
+from ..core import train as T
+from ..core.mesh import make_mesh
+from ..data import datasets as D
+from ..data import pipeline as P
+from ..models import clip as clip_mod
+from . import prompts as PR
+from .clip_tasks import (_build_supervised, _make_forward, build_text_features,
+                         make_zero_shot_logits_fn)
+from .common import (base_parser, build_clip_model, get_text_tokenizer,
+                     require_real_tokenizer, seed_everything)
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+
+
+def collect_images(spec: str) -> list[str]:
+    """A directory (recursive, sorted) or a .txt file of paths."""
+    if os.path.isdir(spec):
+        out = []
+        for root, _, files in os.walk(spec):
+            out.extend(os.path.join(root, f) for f in files
+                       if f.lower().endswith(IMG_EXTS))
+        return sorted(out)
+    if spec.endswith(".txt"):
+        with open(spec) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+    raise SystemExit(f"--images must be a directory or a .txt list: {spec}")
+
+
+def _batches(paths, batch_size, img_size, workers):
+    """Decoded uint8 grayscale batches [B, H, W] in path order (the same
+    loader stack as the dataset pipeline: native C++ decode when enabled)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(workers, 1)) as ex:
+        for s in range(0, len(paths), batch_size):
+            part = paths[s:s + batch_size]
+            imgs = list(ex.map(lambda p: D.load_image(p, img_size), part))
+            yield part, np.stack(imgs)
+
+
+def predict_main(family: str = "biomedclip", argv=None):
+    p = base_parser(f"{family}_predict", batch_size=32)
+    p.add_argument("--task", type=str, default="zero_shot",
+                   choices=["zero_shot", "cls", "seg"])
+    p.add_argument("--images", type=str, required=True,
+                   help="directory of images or a .txt list of paths")
+    p.add_argument("--out", type=str, default=None,
+                   help="output directory (default runs/serve/<exp>)")
+    p.add_argument("--class_names", type=str, default=None,
+                   help="comma-separated class names for csv headers "
+                        "(default: zero-shot prompt classes / class indices)")
+    p.add_argument("--export", type=str, default=None,
+                   help="also serialize the jitted forward as a StableHLO "
+                        "artifact (jax.export) at this path")
+    args = p.parse_args(argv)
+    rng = seed_everything(args.seed)
+
+    out_dir = args.out or os.path.join("runs", "serve", args.exp)
+    os.makedirs(out_dir, exist_ok=True)
+    paths = collect_images(args.images)
+    if not paths:
+        raise SystemExit(f"no images found under {args.images}")
+    logging.info(f"Serving {len(paths)} images -> {out_dir}")
+
+    mesh = make_mesh(args.n_data or 1, args.n_model)
+
+    if args.task == "zero_shot":
+        adapter = "lora" if args.lora_weights else (
+            "mona" if args.mona_weights else None)
+        cfg, params = build_clip_model(args, family, adapter=adapter, rng=rng)
+        tokenizer = get_text_tokenizer(args, family)
+        require_real_tokenizer(args, tokenizer, f"{family} predict")
+        ensemble = PR.prompt_ensemble_for(args.dataset)
+        text_feats = build_text_features(params, cfg, tokenizer, ensemble)
+        classes = list(PR.LESION_TYPES)
+        fwd = make_zero_shot_logits_fn(cfg, text_feats, classes=classes,
+                                       mesh=mesh)
+
+        def infer(params_, images_u8):
+            logits, _ = fwd(params_, images_u8)
+            return logits
+
+        # export must be the plain single-device forward (no shard_map —
+        # the artifact should not bake in this host's mesh shape)
+        plain = make_zero_shot_logits_fn(cfg, text_feats, classes=classes)
+        export_fn = (lambda im: plain(params, im)[0]) if args.export else None
+        names = _names(args, classes)
+        _run_cls(paths, args, fwd.dp_width, fwd.batch_sharding, infer, params,
+                 names, out_dir)
+    else:
+        cfg, hcfg, params = _build_supervised(args, family, args.task, rng)
+        if not args.head_weights:
+            logging.warning("serving a supervised head without --head_weights:"
+                            " head is RANDOM")
+        forward = _make_forward(cfg, hcfg, args, train=False)
+
+        def fn(trainable, _frozen, batch):
+            logits, _ = forward(trainable, batch["image"], None,
+                                jax.random.key(0))
+            return logits
+
+        sfwd, sharding, dp = T.make_sharded_apply(fn, mesh)
+
+        def infer(params_, images_u8):
+            return sfwd(params_, {}, {"image": images_u8})
+
+        export_fn = (lambda im: fn(params, {}, {"image": im})) if args.export else None
+        if args.task == "cls":
+            names = _names(args, [str(i) for i in range(hcfg.num_classes)])
+            _run_cls(paths, args, dp, sharding, infer, params, names, out_dir)
+        else:
+            _run_seg(paths, args, dp, sharding, infer, params, out_dir)
+
+    if args.export:
+        _export_stablehlo(export_fn, args, out_dir)
+    return {"n_images": len(paths), "out": out_dir}
+
+
+def _names(args, default):
+    if args.class_names:
+        return [c.strip() for c in args.class_names.split(",") if c.strip()]
+    return list(default)
+
+
+def _iter_padded(paths, args, dp_width, sharding, infer, params):
+    """Yield (paths_chunk, outputs sliced to the real batch)."""
+    def padded():
+        for part, imgs in _batches(paths, args.batch_size, args.img_size,
+                                   args.num_workers):
+            b, n_real = T.pad_eval_batch({"image": imgs}, dp_width)
+            b["n_real"] = n_real
+            b["paths"] = part
+            yield b
+
+    for batch in P.prefetch_to_device(padded(), sharding=sharding):
+        out = infer(params, batch["image"])
+        yield batch["paths"], np.asarray(out)[: batch["n_real"]]
+
+
+def _run_cls(paths, args, dp_width, sharding, infer, params, names, out_dir):
+    csv_path = os.path.join(out_dir, "predictions.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["path", "pred"] + [f"prob_{c}" for c in names])
+        for part, logits in _iter_padded(paths, args, dp_width, sharding,
+                                         infer, params):
+            probs = _softmax(logits)
+            for pth, pr in zip(part, probs):
+                w.writerow([pth, names[int(np.argmax(pr))]]
+                           + [f"{v:.6f}" for v in pr])
+    logging.info(f"Wrote {csv_path}")
+
+
+def _run_seg(paths, args, dp_width, sharding, infer, params, out_dir):
+    from PIL import Image
+
+    idx_path = os.path.join(out_dir, "index.csv")
+    with open(idx_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["path", "mask", "foreground_frac"])
+        for part, logits in _iter_padded(paths, args, dp_width, sharding,
+                                         infer, params):
+            # PyramidHead seg logits are [B, C, H, W]; mask = argmax class id
+            masks = np.argmax(logits, axis=1).astype(np.uint8)
+            for pth, m in zip(part, masks):
+                stem = os.path.splitext(os.path.basename(pth))[0]
+                mp = os.path.join(out_dir, f"{stem}_mask.png")
+                scale = 255 // max(int(m.max()), 1) if m.max() else 255
+                Image.fromarray(m * scale).save(mp)
+                w.writerow([pth, mp, f"{float((m > 0).mean()):.4f}"])
+    logging.info(f"Wrote {idx_path}")
+
+
+def _softmax(x):
+    x = np.asarray(x, np.float64)
+    x = x - x.max(axis=-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def _export_stablehlo(fn, args, out_dir):
+    """Serialize the single-device forward via jax.export and prove the
+    artifact runs by deserializing and calling it before writing."""
+    shape = (args.batch_size, args.img_size, args.img_size)
+    spec = jax.ShapeDtypeStruct(shape, jnp.uint8)
+    exported = jax.export.export(jax.jit(fn))(spec)
+    blob = exported.serialize()
+    probe = np.zeros(shape, np.uint8)
+    re = jax.export.deserialize(blob)
+    out = re.call(probe)
+    assert np.all(np.isfinite(np.asarray(out, np.float32))), \
+        "exported forward produced non-finite output"
+    path = args.export if os.path.isabs(args.export) else os.path.join(
+        out_dir, args.export)
+    with open(path, "wb") as f:
+        f.write(blob)
+    logging.info(f"Exported StableHLO forward ({len(blob)} bytes) -> {path}")

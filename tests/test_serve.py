@@ -1,0 +1,100 @@
+"""E2E tests for the serving / batch-inference CLI (tasks/serve.py).
+
+CPU, tiny towers; synthetic images on disk. Covers the three tasks, ragged
+tail batches through the sharded apply, csv/mask outputs, and the
+jax.export StableHLO round-trip.
+"""
+
+import csv
+import glob
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def _make_images(root, n=7, size=48):
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(n):
+        p = os.path.join(root, f"img_{i:02d}.png")
+        Image.fromarray(rng.integers(0, 255, (size, size), np.uint8)).save(p)
+        paths.append(p)
+    return paths
+
+
+COMMON = ["--debug_tiny", "--img_size", "32", "--batch_size", "4",
+          "--num_workers", "2", "--compute_dtype", "float32"]
+
+
+def test_predict_zero_shot_e2e(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    paths = _make_images(tmp_path / "imgs")
+    from nextgen_uia_tpu.tasks.biomedclip.predict import main
+
+    out = main(["--task", "zero_shot", "--images", str(tmp_path / "imgs"),
+                "--dataset", "BUSI", "--exp", "srv_zs"] + COMMON)
+    assert out["n_images"] == len(paths)
+    with open(os.path.join(out["out"], "predictions.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == len(paths)
+    assert [r["path"] for r in rows] == paths  # order preserved over batches
+    for r in rows:
+        probs = [float(v) for k, v in r.items() if k.startswith("prob_")]
+        assert abs(sum(probs) - 1.0) < 1e-5
+        assert r["pred"].strip() in ("benign", "malignant", "normal")
+
+
+def test_predict_cls_and_export_e2e(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    _make_images(tmp_path / "imgs", n=5)
+    from nextgen_uia_tpu.tasks.clip.predict import main
+
+    out = main(["--task", "cls", "--images", str(tmp_path / "imgs"),
+                "--exp", "srv_cls", "--num_classes", "3",
+                "--class_names", "a,b,c",
+                "--export", "fwd.stablehlo"] + COMMON)
+    with open(os.path.join(out["out"], "predictions.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 5 and set(r["pred"] for r in rows) <= {"a", "b", "c"}
+
+    # the artifact was round-tripped (deserialize+call) before writing;
+    # prove it again here independently
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    blob = open(os.path.join(out["out"], "fwd.stablehlo"), "rb").read()
+    re = jax.export.deserialize(blob)
+    logits = re.call(np.zeros((4, 32, 32), np.uint8))
+    assert np.asarray(logits).shape == (4, 3)
+    assert np.all(np.isfinite(np.asarray(logits, np.float32)))
+
+
+def test_predict_seg_e2e(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    paths = _make_images(tmp_path / "imgs", n=3)
+    from nextgen_uia_tpu.tasks.biomedclip.predict import main
+
+    out = main(["--task", "seg", "--images", str(tmp_path / "imgs"),
+                "--exp", "srv_seg"] + COMMON)
+    masks = sorted(glob.glob(os.path.join(out["out"], "*_mask.png")))
+    assert len(masks) == len(paths)
+    m = np.asarray(Image.open(masks[0]))
+    assert m.shape == (32, 32)
+    with open(os.path.join(out["out"], "index.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == len(paths)
+
+
+def test_predict_images_txt_list(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    paths = _make_images(tmp_path / "imgs", n=3)
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(paths[::-1]))  # explicit order, reversed
+    from nextgen_uia_tpu.tasks.serve import collect_images
+
+    assert collect_images(str(lst)) == paths[::-1]
+    with pytest.raises(SystemExit):
+        collect_images(str(tmp_path / "nope.csv"))
