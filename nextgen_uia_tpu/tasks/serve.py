@@ -37,17 +37,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import checkpoint as ckpt  # noqa: F401  (re-export convenience)
 from ..core import train as T
+from ..core.experiment import setup_logging
 from ..core.mesh import make_mesh
 from ..data import datasets as D
 from ..data import pipeline as P
-from ..models import clip as clip_mod
 from . import prompts as PR
 from .clip_tasks import (_build_supervised, _make_forward, build_text_features,
                          make_zero_shot_logits_fn)
-from .common import (base_parser, build_clip_model, get_text_tokenizer,
-                     require_real_tokenizer, seed_everything)
+from .common import (apply_compat_flags, base_parser, build_clip_model,
+                     get_text_tokenizer, require_real_tokenizer,
+                     seed_everything)
 
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
 
@@ -97,12 +97,19 @@ def predict_main(family: str = "biomedclip", argv=None):
 
     out_dir = args.out or os.path.join("runs", "serve", args.exp)
     os.makedirs(out_dir, exist_ok=True)
+    setup_logging(args, out_dir)
+    apply_compat_flags(args)  # --ckpt/--device reference-compat semantics
     paths = collect_images(args.images)
     if not paths:
         raise SystemExit(f"no images found under {args.images}")
     logging.info(f"Serving {len(paths)} images -> {out_dir}")
 
-    mesh = make_mesh(args.n_data or 1, args.n_model)
+    if args.n_model != 1:
+        logging.warning("serving is data-parallel only; --n_model ignored "
+                        "(model-axis sharding needs the FSDP-partitioned "
+                        "train-side flow)")
+    # default: every visible device serves data-parallel
+    mesh = make_mesh(args.n_data, 1)
 
     if args.task == "zero_shot":
         adapter = "lora" if args.lora_weights else (
@@ -157,9 +164,13 @@ def predict_main(family: str = "biomedclip", argv=None):
 
 
 def _names(args, default):
-    if args.class_names:
-        return [c.strip() for c in args.class_names.split(",") if c.strip()]
-    return list(default)
+    if not args.class_names:
+        return list(default)
+    names = [c.strip() for c in args.class_names.split(",") if c.strip()]
+    if len(names) != len(default):
+        raise SystemExit(f"--class_names has {len(names)} entries but the "
+                         f"model predicts {len(default)} classes {default}")
+    return names
 
 
 def _iter_padded(paths, args, dp_width, sharding, infer, params):
@@ -198,13 +209,16 @@ def _run_seg(paths, args, dp_width, sharding, infer, params, out_dir):
     with open(idx_path, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["path", "mask", "foreground_frac"])
+        i = 0
         for part, logits in _iter_padded(paths, args, dp_width, sharding,
                                          infer, params):
             # PyramidHead seg logits are [B, C, H, W]; mask = argmax class id
             masks = np.argmax(logits, axis=1).astype(np.uint8)
             for pth, m in zip(part, masks):
                 stem = os.path.splitext(os.path.basename(pth))[0]
-                mp = os.path.join(out_dir, f"{stem}_mask.png")
+                # global index prefix: recursive walks may repeat basenames
+                mp = os.path.join(out_dir, f"{i:05d}_{stem}_mask.png")
+                i += 1
                 scale = 255 // max(int(m.max()), 1) if m.max() else 255
                 Image.fromarray(m * scale).save(mp)
                 w.writerow([pth, mp, f"{float((m > 0).mean()):.4f}"])
