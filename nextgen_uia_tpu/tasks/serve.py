@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import checkpoint as ckpt
 from ..core import train as T
 from ..core.experiment import setup_logging
 from ..core.mesh import make_mesh
@@ -130,7 +131,7 @@ def predict_main(family: str = "biomedclip", argv=None):
         # export must be the plain single-device forward (no shard_map —
         # the artifact should not bake in this host's mesh shape)
         plain = make_zero_shot_logits_fn(cfg, text_feats, classes=classes)
-        export_fn = (lambda im: plain(params, im)[0]) if args.export else None
+        export_fn = (lambda p_, im: plain(p_, im)[0]) if args.export else None
         names = _names(args, classes)
         _run_cls(paths, args, fwd.dp_width, fwd.batch_sharding, infer, params,
                  names, out_dir)
@@ -151,7 +152,7 @@ def predict_main(family: str = "biomedclip", argv=None):
         def infer(params_, images_u8):
             return sfwd(params_, {}, {"image": images_u8})
 
-        export_fn = (lambda im: fn(params, {}, {"image": im})) if args.export else None
+        export_fn = (lambda p_, im: fn(p_, {}, {"image": im})) if args.export else None
         if args.task == "cls":
             names = _names(args, [str(i) for i in range(hcfg.num_classes)])
             _run_cls(paths, args, dp, sharding, infer, params, names, out_dir)
@@ -159,7 +160,7 @@ def predict_main(family: str = "biomedclip", argv=None):
             _run_seg(paths, args, dp, sharding, infer, params, out_dir)
 
     if args.export:
-        _export_stablehlo(export_fn, args, out_dir)
+        _export_stablehlo(export_fn, params, args, out_dir)
     return {"n_images": len(paths), "out": out_dir}
 
 
@@ -232,20 +233,58 @@ def _softmax(x):
     return e / e.sum(axis=-1, keepdims=True)
 
 
-def _export_stablehlo(fn, args, out_dir):
-    """Serialize the single-device forward via jax.export and prove the
-    artifact runs by deserializing and calling it before writing."""
+def _export_stablehlo(fn, params, args, out_dir):
+    """Serialize the single-device forward via jax.export — weights as
+    ARGUMENTS, not baked-in constants (a constant-folded ViT-B/16 module is
+    ~600 MB and full-size compiles of it blow past compile-service request
+    limits; observed as HTTP 413 on this relay). The artifact ships as
+    <name> + <name>.params.npz; a serving host rebuilds the weight tree with
+    ``load_exported_params`` (numpy-only) and calls
+    ``jax.export.deserialize(blob).call(params, images_u8)``. The pair is
+    round-tripped (deserialize + call) before writing, so a written artifact
+    is a working one."""
     shape = (args.batch_size, args.img_size, args.img_size)
     spec = jax.ShapeDtypeStruct(shape, jnp.uint8)
-    exported = jax.export.export(jax.jit(fn))(spec)
+    p_spec = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                          params)
+    exported = jax.export.export(jax.jit(fn))(p_spec, spec)
     blob = exported.serialize()
-    probe = np.zeros(shape, np.uint8)
-    re = jax.export.deserialize(blob)
-    out = re.call(probe)
-    assert np.all(np.isfinite(np.asarray(out, np.float32))), \
-        "exported forward produced non-finite output"
+
     path = args.export if os.path.isabs(args.export) else os.path.join(
         out_dir, args.export)
+    wpath = path + ".params.npz"
+    ckpt.save(wpath, params)
+    probe = np.zeros(shape, np.uint8)
+    out = jax.export.deserialize(blob).call(load_exported_params(wpath), probe)
+    assert np.all(np.isfinite(np.asarray(out, np.float32))), \
+        "exported forward produced non-finite output"
     with open(path, "wb") as f:
         f.write(blob)
-    logging.info(f"Exported StableHLO forward ({len(blob)} bytes) -> {path}")
+    logging.info(f"Exported StableHLO forward ({len(blob)} bytes) -> {path} "
+                 f"(+ weights {wpath})")
+
+
+def load_exported_params(npz_path):
+    """Rebuild the exported forward's weight pytree from its .params.npz —
+    numpy + path nesting only, no model code (deployment counterpart of
+    core/checkpoint.py's '/'-joined flat format; integer path components
+    become list indices)."""
+    with np.load(npz_path) as data:
+        flat = {k: data[k] for k in data.files}
+    root: dict = {}
+    for key, arr in flat.items():
+        parts = key.split("/")
+        node = root
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = arr
+
+    def listify(n):
+        if not isinstance(n, dict):
+            return n
+        n = {k: listify(v) for k, v in n.items()}
+        if n and all(k.isdigit() for k in n):
+            return [n[str(i)] for i in range(len(n))]
+        return n
+
+    return listify(root)

@@ -60,14 +60,18 @@ def test_predict_cls_and_export_e2e(tmp_path, monkeypatch):
         rows = list(csv.DictReader(f))
     assert len(rows) == 5 and set(r["pred"] for r in rows) <= {"a", "b", "c"}
 
-    # the artifact was round-tripped (deserialize+call) before writing;
-    # prove it again here independently
+    # the artifact pair was round-tripped (deserialize+call) before writing;
+    # prove it again here independently, the way a serving host would:
+    # numpy-only weight rebuild + deserialize + call
     import jax
-    import jax.numpy as jnp  # noqa: F401
 
-    blob = open(os.path.join(out["out"], "fwd.stablehlo"), "rb").read()
+    from nextgen_uia_tpu.tasks.serve import load_exported_params
+
+    art = os.path.join(out["out"], "fwd.stablehlo")
+    blob = open(art, "rb").read()
+    params = load_exported_params(art + ".params.npz")
     re = jax.export.deserialize(blob)
-    logits = re.call(np.zeros((4, 32, 32), np.uint8))
+    logits = re.call(params, np.zeros((4, 32, 32), np.uint8))
     assert np.asarray(logits).shape == (4, 3)
     assert np.all(np.isfinite(np.asarray(logits, np.float32)))
 
