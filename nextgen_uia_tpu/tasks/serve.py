@@ -22,9 +22,11 @@ trained head — so any checkpoint produced by the finetune/supervised
 drivers serves directly.
 
 --export <path> additionally serializes the jitted single-device forward as
-a portable StableHLO artifact via jax.export (round-tripped through
-deserialize+call before writing, so a written artifact is a working one).
-Serving hosts can then run inference without this package's model code.
+a portable StableHLO artifact pair via jax.export — <path> (module, weights
+as arguments) + <path>.params.npz (weights; rebuild with
+``load_exported_params``) — round-tripped through deserialize+call before
+writing, so a written artifact is a working one. Serving hosts can then run
+inference without this package's model code.
 """
 
 from __future__ import annotations
