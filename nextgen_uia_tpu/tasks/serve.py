@@ -71,14 +71,25 @@ def collect_images(spec: str) -> list[str]:
 
 def _batches(paths, batch_size, img_size, workers):
     """Decoded uint8 grayscale batches [B, H, W] in path order (the same
-    loader stack as the dataset pipeline: native C++ decode when enabled)."""
+    loader stack as the dataset pipeline: native C++ decode when enabled).
+    A corrupt/unreadable file must not kill a long serving run: it decodes
+    to zeros, is reported in the per-image ``ok`` mask, and surfaces as
+    status=decode_error in the output csv."""
     from concurrent.futures import ThreadPoolExecutor
+
+    def safe_load(p):
+        try:
+            return D.load_image(p, img_size), True
+        except Exception as e:  # noqa: BLE001 — any decode failure
+            logging.warning(f"decode failed for {p}: {e}")
+            return np.zeros((img_size, img_size), np.uint8), False
 
     with ThreadPoolExecutor(max_workers=max(workers, 1)) as ex:
         for s in range(0, len(paths), batch_size):
             part = paths[s:s + batch_size]
-            imgs = list(ex.map(lambda p: D.load_image(p, img_size), part))
-            yield part, np.stack(imgs)
+            loaded = list(ex.map(safe_load, part))
+            yield part, np.stack([im for im, _ in loaded]), \
+                [ok for _, ok in loaded]
 
 
 def predict_main(family: str = "biomedclip", argv=None):
@@ -177,31 +188,34 @@ def _names(args, default):
 
 
 def _iter_padded(paths, args, dp_width, sharding, infer, params):
-    """Yield (paths_chunk, outputs sliced to the real batch)."""
+    """Yield (paths_chunk, ok_mask, outputs sliced to the real batch)."""
     def padded():
-        for part, imgs in _batches(paths, args.batch_size, args.img_size,
-                                   args.num_workers):
+        for part, imgs, ok in _batches(paths, args.batch_size, args.img_size,
+                                       args.num_workers):
             b, n_real = T.pad_eval_batch({"image": imgs}, dp_width)
             b["n_real"] = n_real
             b["paths"] = part
+            b["ok"] = ok
             yield b
 
     for batch in P.prefetch_to_device(padded(), sharding=sharding):
         out = infer(params, batch["image"])
-        yield batch["paths"], np.asarray(out)[: batch["n_real"]]
+        yield batch["paths"], batch["ok"], np.asarray(out)[: batch["n_real"]]
 
 
 def _run_cls(paths, args, dp_width, sharding, infer, params, names, out_dir):
     csv_path = os.path.join(out_dir, "predictions.csv")
     with open(csv_path, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["path", "pred"] + [f"prob_{c}" for c in names])
-        for part, logits in _iter_padded(paths, args, dp_width, sharding,
-                                         infer, params):
+        w.writerow(["path", "pred", "status"] + [f"prob_{c}" for c in names])
+        for part, ok, logits in _iter_padded(paths, args, dp_width, sharding,
+                                             infer, params):
             probs = _softmax(logits)
-            for pth, pr in zip(part, probs):
-                w.writerow([pth, names[int(np.argmax(pr))]]
-                           + [f"{v:.6f}" for v in pr])
+            for pth, good, pr in zip(part, ok, probs):
+                status = "ok" if good else "decode_error"
+                pred = names[int(np.argmax(pr))] if good else ""
+                w.writerow([pth, pred, status]
+                           + [f"{v:.6f}" if good else "" for v in pr])
     logging.info(f"Wrote {csv_path}")
 
 
@@ -211,20 +225,23 @@ def _run_seg(paths, args, dp_width, sharding, infer, params, out_dir):
     idx_path = os.path.join(out_dir, "index.csv")
     with open(idx_path, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["path", "mask", "foreground_frac"])
+        w.writerow(["path", "mask", "status", "foreground_frac"])
         i = 0
-        for part, logits in _iter_padded(paths, args, dp_width, sharding,
-                                         infer, params):
+        for part, ok, logits in _iter_padded(paths, args, dp_width, sharding,
+                                             infer, params):
             # PyramidHead seg logits are [B, C, H, W]; mask = argmax class id
             masks = np.argmax(logits, axis=1).astype(np.uint8)
-            for pth, m in zip(part, masks):
+            for pth, good, m in zip(part, ok, masks):
                 stem = os.path.splitext(os.path.basename(pth))[0]
                 # global index prefix: recursive walks may repeat basenames
                 mp = os.path.join(out_dir, f"{i:05d}_{stem}_mask.png")
                 i += 1
+                if not good:
+                    w.writerow([pth, "", "decode_error", ""])
+                    continue
                 scale = 255 // max(int(m.max()), 1) if m.max() else 255
                 Image.fromarray(m * scale).save(mp)
-                w.writerow([pth, mp, f"{float((m > 0).mean()):.4f}"])
+                w.writerow([pth, mp, "ok", f"{float((m > 0).mean()):.4f}"])
     logging.info(f"Wrote {idx_path}")
 
 

@@ -92,6 +92,27 @@ def test_predict_seg_e2e(tmp_path, monkeypatch):
     assert len(rows) == len(paths)
 
 
+def test_predict_survives_corrupt_image(tmp_path, monkeypatch):
+    """A single unreadable file must not kill the run: its row reports
+    decode_error and every other image still gets a prediction."""
+    monkeypatch.chdir(tmp_path)
+    paths = _make_images(tmp_path / "imgs", n=4)
+    bad = os.path.join(tmp_path / "imgs", "img_01.png")
+    with open(bad, "wb") as f:
+        f.write(b"not a png at all")
+    from nextgen_uia_tpu.tasks.biomedclip.predict import main
+
+    out = main(["--task", "zero_shot", "--images", str(tmp_path / "imgs"),
+                "--dataset", "BUSI", "--exp", "srv_bad"] + COMMON)
+    with open(os.path.join(out["out"], "predictions.csv")) as f:
+        rows = {r["path"]: r for r in csv.DictReader(f)}
+    assert len(rows) == len(paths)
+    assert rows[bad]["status"] == "decode_error" and rows[bad]["pred"] == ""
+    for p in paths:
+        if p != bad:
+            assert rows[p]["status"] == "ok" and rows[p]["pred"]
+
+
 def test_predict_images_txt_list(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     paths = _make_images(tmp_path / "imgs", n=3)
