@@ -142,9 +142,12 @@ def predict_main(family: str = "biomedclip", argv=None):
             return logits
 
         # export must be the plain single-device forward (no shard_map —
-        # the artifact should not bake in this host's mesh shape)
+        # the artifact should not bake in this host's mesh shape), and ships
+        # only the subtree it reads: the image forward never touches the
+        # text tower (text prototypes are small closure constants)
         plain = make_zero_shot_logits_fn(cfg, text_feats, classes=classes)
         export_fn = (lambda p_, im: plain(p_, im)[0]) if args.export else None
+        export_params = {"visual": params["visual"]}
         names = _names(args, classes)
         _run_cls(paths, args, fwd.dp_width, fwd.batch_sharding, infer, params,
                  names, out_dir)
@@ -166,6 +169,9 @@ def predict_main(family: str = "biomedclip", argv=None):
             return sfwd(params_, {}, {"image": images_u8})
 
         export_fn = (lambda p_, im: fn(p_, {}, {"image": im})) if args.export else None
+        # the supervised forward reads the vision tower + head only
+        export_params = {"backbone": {"visual": params["backbone"]["visual"]},
+                         "head": params["head"]}
         if args.task == "cls":
             names = _names(args, [str(i) for i in range(hcfg.num_classes)])
             _run_cls(paths, args, dp, sharding, infer, params, names, out_dir)
@@ -173,7 +179,7 @@ def predict_main(family: str = "biomedclip", argv=None):
             _run_seg(paths, args, dp, sharding, infer, params, out_dir)
 
     if args.export:
-        _export_stablehlo(export_fn, params, args, out_dir)
+        _export_stablehlo(export_fn, export_params, args, out_dir)
     return {"n_images": len(paths), "out": out_dir}
 
 
@@ -272,13 +278,26 @@ def _export_stablehlo(fn, params, args, out_dir):
     path = args.export if os.path.isabs(args.export) else os.path.join(
         out_dir, args.export)
     wpath = path + ".params.npz"
-    ckpt.save(wpath, params)
+    # probe against a TEMP weights file and publish both halves only after
+    # it passes — a failed probe must not leave a mismatched pair on disk
+    wtmp = wpath + ".tmp.npz"
+    ckpt.save(wtmp, params)
+    rebuilt = load_exported_params(wtmp)
+    if (jax.tree_util.tree_structure(rebuilt)
+            != jax.tree_util.tree_structure(params)):
+        os.remove(wtmp)
+        raise SystemExit(
+            "--export: the weight tree does not round-trip through the "
+            "numpy-only loader (load_exported_params supports dict/list "
+            "nodes; tuples or digit-keyed dicts in the param tree do not)")
     probe = np.zeros(shape, np.uint8)
-    out = jax.export.deserialize(blob).call(load_exported_params(wpath), probe)
+    out = jax.export.deserialize(blob).call(rebuilt, probe)
     assert np.all(np.isfinite(np.asarray(out, np.float32))), \
         "exported forward produced non-finite output"
-    with open(path, "wb") as f:
+    with open(path + ".tmp", "wb") as f:
         f.write(blob)
+    os.replace(wtmp, wpath)
+    os.replace(path + ".tmp", path)
     logging.info(f"Exported StableHLO forward ({len(blob)} bytes) -> {path} "
                  f"(+ weights {wpath})")
 
