@@ -449,3 +449,51 @@ class EarlyStopper:
     @property
     def should_stop(self) -> bool:
         return self.counter >= self.patience
+
+
+class GracefulShutdown:
+    """Preemption handler for the train engines.
+
+    Preemptible TPU pools deliver SIGTERM shortly before reclaiming the
+    host; the reference has no handling at all (SURVEY §5.3) and dies
+    mid-step, losing the run since its last best-model save. Installing this
+    lets a loop finish the in-flight update, checkpoint the FULL train state
+    (core/checkpoint.save_train_state), and exit cleanly so `--resume`
+    continues exactly where the signal landed.
+
+    The first SIGTERM/SIGINT only sets ``requested`` and restores the
+    previous handlers — a second signal therefore behaves as before install
+    (kill/KeyboardInterrupt), so a stuck run can still be terminated.
+    install() is a no-op off the main thread (the signal module's rule);
+    ``requested`` then simply stays False.
+    """
+
+    def __init__(self):
+        self.requested = False
+        self._prev = {}
+
+    def _handler(self, signum, frame):
+        import logging
+
+        self.requested = True
+        logging.warning(f"signal {signum} received: finishing the current "
+                        "update, then checkpointing for --resume "
+                        "(signal again to force the previous behavior)")
+        self.uninstall()
+
+    def install(self):
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return self
+        for s in (signal.SIGTERM, signal.SIGINT):
+            self._prev[s] = signal.signal(s, self._handler)
+        return self
+
+    def uninstall(self):
+        import signal
+
+        prev, self._prev = self._prev, {}
+        for s, h in prev.items():
+            signal.signal(s, h)

@@ -310,9 +310,11 @@ def finetune_main(family: str, argv=None):
     update_count = 0
     applied_count = 0  # updates actually taken (fully-skipped ones revert optax)
     start_epoch = 0
+    skip_updates = 0  # mid-epoch resume: updates already applied this epoch
     if args.resume and os.path.exists(last_path):
         state, meta = ckpt.load_train_state(last_path, state)
         start_epoch = int(meta.get("epoch", 0))
+        skip_updates = int(meta.get("updates_into_epoch", 0))
         update_count = int(meta.get("update_count", 0))
         applied_count = int(meta.get("applied_count", update_count))
         stopper.best = meta.get("best")
@@ -321,14 +323,32 @@ def finetune_main(family: str, argv=None):
         logging.info(f"Resumed from {last_path} at epoch {start_epoch} "
                      f"(step {int(state['step'])})")
 
+    # preemption: SIGTERM/SIGINT finishes the in-flight update, saves the
+    # full train state (incl. position within the epoch), exits cleanly
+    shutdown = T.GracefulShutdown().install()
     for epoch in range(start_epoch, args.epochs):
         epoch_loss, nb = 0.0, 0
-        for mb in P.prefetch_to_device(
-                microbatched(tokenized_batches(train_ds, True, True, args.seed + epoch)),
-                sharding=mb_sharding):
+        gen = microbatched(tokenized_batches(train_ds, True, True,
+                                             args.seed + epoch))
+        updates_this_epoch = 0
+        if epoch == start_epoch and skip_updates:
+            # the epoch's batch stream is deterministic (seed + epoch), so
+            # dropping the first N updates replays EXACTLY the data the
+            # preempted run had not yet consumed. (The dropout rng chain
+            # restarts like any epoch-boundary resume — documented resume
+            # semantics: deterministic continuation, not bit-identical to an
+            # uninterrupted run.)
+            import itertools
+
+            gen = itertools.islice(gen, skip_updates, None)
+            updates_this_epoch = skip_updates
+            logging.info(f"Mid-epoch resume: skipping {skip_updates} "
+                         f"already-applied updates of epoch {epoch + 1}")
+        for mb in P.prefetch_to_device(gen, sharding=mb_sharding):
             k, k1 = jax.random.split(k)
             state, m = step(state, frozen_train, mb, k1)
             update_count += 1
+            updates_this_epoch += 1
             n_skip = int(m["skipped"])
             if n_skip < tcfg.accum_steps:
                 applied_count += 1
@@ -345,6 +365,19 @@ def finetune_main(family: str, argv=None):
             if n_skip:
                 logging.warning(f"{n_skip} non-finite microbatches skipped "
                                 f"at update {update_count}")
+            if shutdown.requested:
+                break
+        if shutdown.requested:
+            ckpt.save_train_state(last_path, state, extra={
+                "epoch": epoch, "updates_into_epoch": updates_this_epoch,
+                "update_count": update_count, "applied_count": applied_count,
+                "best": stopper.best, "best_epoch": stopper.best_step,
+                "patience_counter": stopper.counter})
+            logging.warning(
+                f"Preempted at epoch {epoch + 1} after {updates_this_epoch} "
+                f"updates; train state saved to {last_path} — rerun with "
+                "--resume to continue exactly here")
+            break
 
         def val_batches():
             for b in tokenized_batches(val_ds, False, False, None):
@@ -375,15 +408,20 @@ def finetune_main(family: str, argv=None):
             logging.info(f"Best model saved ({n} tensors) at epoch {epoch + 1} "
                          f"with validation loss {stopper.best:.4f}")
         ckpt.save_train_state(last_path, state, extra={
-            "epoch": epoch + 1, "update_count": update_count,
-            "applied_count": applied_count,
+            "epoch": epoch + 1, "updates_into_epoch": 0,
+            "update_count": update_count, "applied_count": applied_count,
             "best": stopper.best, "best_epoch": stopper.best_step,
             "patience_counter": stopper.counter})
         if stopper.should_stop:
             logging.info(f"Early stopping at epoch {epoch + 1}")
             break
 
+    shutdown.uninstall()
     writer.close()
+    if shutdown.requested:
+        # preempted: no "completed" claim, no chained eval on a partial run
+        return {"preempted": True, "best_val_loss": stopper.best,
+                "best_epoch": stopper.best_step}
     logging.info(f"Training completed. Best val loss {stopper.best:.4f} "
                  f"at epoch {stopper.best_step + 1}")
 

@@ -100,6 +100,10 @@ def base_parser(name: str, **defaults) -> argparse.ArgumentParser:
     p.add_argument("--n_model", type=int, default=1, help="model-parallel mesh size")
     p.add_argument("--debug_tiny", default=False, action="store_true",
                    help="Shrink towers for smoke tests (random weights, fast compile)")
+    p.add_argument("--resume", default=False, action="store_true",
+                   help="Resume from the run dir's last_state.npz (full train "
+                        "state incl. mid-epoch position; pairs with the "
+                        "SIGTERM preemption handler — TPU-native addition)")
     return p
 
 

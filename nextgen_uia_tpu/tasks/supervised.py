@@ -217,7 +217,42 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
         k = jax.random.fold_in(jax.random.key(args.seed), 123)
         drop_last = n_train > args.batch_size
         applied_updates = 0  # fully-skipped updates revert the optax schedule
-        for epoch in range(args.epochs):
+
+        # full-state resume + preemption (same semantics as the finetune
+        # engine: deterministic continuation; mid-epoch position replays via
+        # the seeded batch stream). The resumable pack bundles the BN state
+        # — it advances every update, so losing it would desync the ResNet
+        # tower's running stats from the optimizer step.
+        last_path = os.path.join(run_path, "last_state.npz")
+        start_epoch, skip_updates = 0, 0
+        if getattr(args, "resume", False) and os.path.exists(last_path):
+            tmpl = {"train": state}
+            if bn_state is not None:
+                tmpl["bn"] = bn_state
+            restored, meta = ckpt.load_train_state(last_path, tmpl)
+            state = restored["train"]
+            bn_state = restored.get("bn", bn_state)
+            start_epoch = int(meta.get("epoch", 0))
+            skip_updates = int(meta.get("updates_into_epoch", 0))
+            applied_updates = int(meta.get("applied_updates", 0))
+            stopper.best = meta.get("best")
+            stopper.best_step = int(meta.get("best_epoch", -1))
+            stopper.counter = int(meta.get("patience_counter", 0))
+            logging.info(f"Resumed from {last_path} at epoch {start_epoch} "
+                         f"(step {int(state['step'])})")
+
+        def _save_last(epoch_, updates_into_epoch_):
+            pack = {"train": state}
+            if bn_state is not None:
+                pack["bn"] = bn_state
+            ckpt.save_train_state(last_path, pack, extra={
+                "epoch": epoch_, "updates_into_epoch": updates_into_epoch_,
+                "applied_updates": applied_updates, "best": stopper.best,
+                "best_epoch": stopper.best_step,
+                "patience_counter": stopper.counter})
+
+        shutdown = T.GracefulShutdown().install()
+        for epoch in range(start_epoch, args.epochs):
             epoch_loss, nb = 0.0, 0
             def microbatched():
                 for batch in P.batches(datasets["train"], args.batch_size,
@@ -233,7 +268,16 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
                         mb = {kk: v[:, :keep] for kk, v in mb.items()}
                     yield mb
 
-            for mb in P.prefetch_to_device(microbatched(), sharding=mb_sharding):
+            gen = microbatched()
+            updates_this_epoch = 0
+            if epoch == start_epoch and skip_updates:
+                import itertools
+
+                gen = itertools.islice(gen, skip_updates, None)
+                updates_this_epoch = skip_updates
+                logging.info(f"Mid-epoch resume: skipping {skip_updates} "
+                             f"already-applied updates of epoch {epoch + 1}")
+            for mb in P.prefetch_to_device(gen, sharding=mb_sharding):
                 k, k1 = jax.random.split(k)
                 frozen_pack = {"params": frozen_train, "bn": bn_state}
                 state, m = step(state, frozen_pack, mb, k1)
@@ -243,6 +287,16 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
                     applied_updates += 1
                 epoch_loss += float(m["loss"])
                 nb += 1
+                updates_this_epoch += 1
+                if shutdown.requested:
+                    break
+            if shutdown.requested:
+                _save_last(epoch, updates_this_epoch)
+                logging.warning(
+                    f"Preempted at epoch {epoch + 1} after "
+                    f"{updates_this_epoch} updates; train state saved to "
+                    f"{last_path} — rerun with --resume to continue")
+                break
             writer.scalar("train/loss", epoch_loss / max(nb, 1), epoch + 1)
 
             # lr of the LAST update taken this epoch (the reference logs
@@ -297,7 +351,12 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
                 if stopper.should_stop:
                     logging.info(f"Early stopping at epoch {epoch + 1}")
                     break
+            _save_last(epoch + 1, 0)
+        shutdown.uninstall()
         writer.close()
+        if shutdown.requested:
+            # preempted: no final test pass on a partial run
+            return {"preempted": True}
 
     if os.path.exists(best_path):
         payload = {"params": trainable}
