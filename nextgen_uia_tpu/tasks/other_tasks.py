@@ -61,19 +61,30 @@ def _add_fewshot_flags(p):
 # ---------------------------------------------------------------------------
 
 
-def clipseg_segmentation_main(argv=None):
-    p = base_parser("clipseg_segmentation", epochs=1000, batch_size=32,
-                    strong_augs=True, weak_augs=True)
+def add_clipseg_flags(p):
     p.add_argument("--version", type=str, default="ViT-B/16")
     p.add_argument("--ckpt", type=str, default="ckpt/ViT-B-16.pt")
     p.add_argument("--reduce_dim", type=int, default=64,
                    help="decoder reduce dim (CIDAS/clipseg-rd64-refined uses 64)")
     p.add_argument("--decoder_ckpt", type=str, default=None,
                    help="converted CLIPSeg decoder .npz (convert/clipseg_decoder)")
+
+
+def clipseg_segmentation_main(argv=None):
+    p = base_parser("clipseg_segmentation", epochs=1000, batch_size=32,
+                    strong_augs=True, weak_augs=True)
+    add_clipseg_flags(p)
     args = p.parse_args(argv)
     rng = seed_everything(args.seed)
     run_path = setup_run(args, "test" if args.test else "train")
+    bundle = build_clipseg_bundle(args, rng)
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="seg")
+    return run_supervised(args, bundle, datasets, run_path, "clipseg_segmentation")
 
+
+def build_clipseg_bundle(args, rng):
+    """Model + forwards for CLIPSeg dense segmentation, dataset-free (shared
+    by the train driver and the serving CLI)."""
     cfg, backbone = build_clip_model(args, "openai", rng=rng)
     dcfg = ClipSegDecoderConfig(
         hidden_size=cfg.vision.width, reduce_dim=args.reduce_dim,
@@ -91,8 +102,6 @@ def clipseg_segmentation_main(argv=None):
     tokenizer = get_text_tokenizer(args, "openai")
     prompt = PR.clipseg_prompt_for(args.dataset)
     prompt_tokens = jnp.asarray(tokenizer([prompt]))  # [1, 77]
-
-    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="seg")
 
     # decoder-only training: the CLIP towers are fully frozen, so jax.grad
     # never differentiates them even in the train step — the forward-only
@@ -116,10 +125,8 @@ def clipseg_segmentation_main(argv=None):
         x, _ = preprocess(images_u8, None, args, train=False, rng=None)
         return model_logits(params, x, False, None)
 
-    bundle = Bundle(task="seg", params=params, trainable_pred=by_keywords("head"),
-                    forward_train=forward_train, forward_eval=forward_eval)
-    datasets_ = datasets
-    return run_supervised(args, bundle, datasets_, run_path, "clipseg_segmentation")
+    return Bundle(task="seg", params=params, trainable_pred=by_keywords("head"),
+                  forward_train=forward_train, forward_eval=forward_eval)
 
 
 # ---------------------------------------------------------------------------
@@ -152,27 +159,39 @@ def _build_dino(args, rng):
     return cfg, params
 
 
-def dino_classification_main(argv=None, *, fewshot: bool = False):
-    p = base_parser("dino_classification", epochs=200, batch_size=32,
-                    strong_augs=True, weak_augs=True)
+def add_dino_flags(p, *, seg: bool = False):
     p.set_defaults(patch_size=14)
     p.add_argument("--dino_arch", type=str, default="vit_base",
                    choices=sorted(DV.DINOV2_ARCHS))
+    if seg:
+        p.add_argument("--decoder_type", type=str, default="unet",
+                       choices=["linear", "unet"])
+
+
+def dino_classification_main(argv=None, *, fewshot: bool = False):
+    p = base_parser("dino_classification", epochs=200, batch_size=32,
+                    strong_augs=True, weak_augs=True)
+    add_dino_flags(p)
     if fewshot:
         _add_fewshot_flags(p)
     args = p.parse_args(argv)
     rng = seed_everything(args.seed)
     run_path = setup_run(args, "test" if args.test else "train")
+    bundle = build_dino_cls_bundle(args, rng)
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="cls")
+    if fewshot:
+        _apply_fewshot(args, datasets, "cls")
+    return run_supervised(args, bundle, datasets, run_path, "dino_classification")
 
+
+def build_dino_cls_bundle(args, rng):
+    """Frozen DINOv2 encoder + 4-layer cls head, dataset-free (shared by the
+    train driver and the serving CLI)."""
     cfg, encoder = _build_dino(args, rng)
     head = DV.cls_head_init(jax.random.fold_in(rng, 5), cfg.width,
                             num_classes=args.num_classes, layers=4)
     params = {"encoder": encoder, "head": head}
     logging.info(model_summary({"model": params}, trainable_pred=by_keywords("head")))
-
-    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="cls")
-    if fewshot:
-        _apply_fewshot(args, datasets, "cls")
 
     def logits_fn(params, x):
         feats = DV.get_intermediate_layers(params["encoder"], x, 4, cfg)
@@ -186,24 +205,29 @@ def dino_classification_main(argv=None, *, fewshot: bool = False):
         x, _ = preprocess(images_u8, None, args, train=False, rng=None)
         return logits_fn(params, x)
 
-    bundle = Bundle(task="cls", params=params, trainable_pred=by_keywords("head"),
-                    forward_train=forward_train, forward_eval=forward_eval)
-    return run_supervised(args, bundle, datasets, run_path, "dino_classification")
+    return Bundle(task="cls", params=params, trainable_pred=by_keywords("head"),
+                  forward_train=forward_train, forward_eval=forward_eval)
 
 
 def dino_segmentation_main(argv=None, *, fewshot: bool = False):
     p = base_parser("dino_segmentation", epochs=200, batch_size=32,
                     strong_augs=True, weak_augs=True)
-    p.set_defaults(patch_size=14)
-    p.add_argument("--dino_arch", type=str, default="vit_base",
-                   choices=sorted(DV.DINOV2_ARCHS))
-    p.add_argument("--decoder_type", type=str, default="unet", choices=["linear", "unet"])
+    add_dino_flags(p, seg=True)
     if fewshot:
         _add_fewshot_flags(p)
     args = p.parse_args(argv)
     rng = seed_everything(args.seed)
     run_path = setup_run(args, "test" if args.test else "train")
+    bundle = build_dino_seg_bundle(args, rng)
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="seg")
+    if fewshot:
+        _apply_fewshot(args, datasets, "seg")
+    return run_supervised(args, bundle, datasets, run_path, "dino_segmentation")
 
+
+def build_dino_seg_bundle(args, rng):
+    """Frozen DINOv2 encoder + linear/UNet decoder, dataset-free (shared by
+    the train driver and the serving CLI)."""
     cfg, encoder = _build_dino(args, rng)
     bn_state = None
     if args.decoder_type == "unet":
@@ -214,10 +238,6 @@ def dino_segmentation_main(argv=None, *, fewshot: bool = False):
                                       num_classes=args.num_classes)
     params = {"encoder": encoder, "head": head}
     logging.info(model_summary({"model": params}, trainable_pred=by_keywords("head")))
-
-    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="seg")
-    if fewshot:
-        _apply_fewshot(args, datasets, "seg")
 
     n_layers = 5 if args.decoder_type == "unet" else 1
 
@@ -242,10 +262,9 @@ def dino_segmentation_main(argv=None, *, fewshot: bool = False):
         logits, _ = logits_fn(params, bn, x, False)
         return logits
 
-    bundle = Bundle(task="seg", params=params, trainable_pred=by_keywords("head"),
-                    forward_train=forward_train, forward_eval=forward_eval,
-                    bn_state=bn_state)
-    return run_supervised(args, bundle, datasets, run_path, "dino_segmentation")
+    return Bundle(task="seg", params=params, trainable_pred=by_keywords("head"),
+                  forward_train=forward_train, forward_eval=forward_eval,
+                  bn_state=bn_state)
 
 
 # ---------------------------------------------------------------------------
@@ -253,29 +272,42 @@ def dino_segmentation_main(argv=None, *, fewshot: bool = False):
 # ---------------------------------------------------------------------------
 
 
+def add_baseline_cls_flags(p):
+    p.add_argument("--version", type=str, default="resnet18")
+
+
+def add_baseline_seg_flags(p):
+    p.set_defaults(in_channels=1)
+    p.add_argument("--init_channels", type=int, default=16)
+
+
 def baselines_classification_main(argv=None, *, fewshot: bool = False):
     p = base_parser("baselines_classification", epochs=200, batch_size=32,
                     strong_augs=True, weak_augs=True)
-    p.add_argument("--version", type=str, default="resnet18")
+    add_baseline_cls_flags(p)
     if fewshot:
         _add_fewshot_flags(p)
     args = p.parse_args(argv)
     rng = seed_everything(args.seed)
     run_path = setup_run(args, "test" if args.test else "train")
+    bundle = build_baseline_cls_bundle(args, rng)
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="cls")
+    if fewshot:
+        _apply_fewshot(args, datasets, "cls")
+    return run_supervised(args, bundle, datasets, run_path, "baselines_classification")
 
+
+def build_baseline_cls_bundle(args, rng):
+    """ResNet baseline classifier, dataset-free (shared by the train driver
+    and the serving CLI)."""
     params, bn_state = resnet_init(rng, args.version, in_channels=args.in_channels,
                                    num_classes=args.num_classes)
     if args.backbone_ckpt:
-        flat_state_prefix = "__state__/"
         loaded, n = ckpt.load_into(args.backbone_ckpt, params)
         params = loaded
         logging.info(f"Loaded {n} ResNet tensors from {args.backbone_ckpt}")
     params = {"model": params}
     logging.info(model_summary({"model": params}, trainable_pred=lambda _: True))
-
-    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="cls")
-    if fewshot:
-        _apply_fewshot(args, datasets, "cls")
 
     def forward_train(p_, bn, batch, rng):
         x, _ = preprocess(batch["image"], None, args, train=True, rng=rng,
@@ -289,31 +321,34 @@ def baselines_classification_main(argv=None, *, fewshot: bool = False):
         logits, _ = resnet_apply(p_["model"], bn, x, args.version, train=False)
         return logits
 
-    bundle = Bundle(task="cls", params=params, trainable_pred=lambda _: True,
-                    forward_train=forward_train, forward_eval=forward_eval,
-                    bn_state=bn_state)
-    return run_supervised(args, bundle, datasets, run_path, "baselines_classification")
+    return Bundle(task="cls", params=params, trainable_pred=lambda _: True,
+                  forward_train=forward_train, forward_eval=forward_eval,
+                  bn_state=bn_state)
 
 
 def baselines_segmentation_main(argv=None, *, fewshot: bool = False):
     p = base_parser("baselines_segmentation", epochs=200, batch_size=32,
                     strong_augs=True, weak_augs=True)
-    p.set_defaults(in_channels=1)
-    p.add_argument("--init_channels", type=int, default=16)
+    add_baseline_seg_flags(p)
     if fewshot:
         _add_fewshot_flags(p)
     args = p.parse_args(argv)
     rng = seed_everything(args.seed)
     run_path = setup_run(args, "test" if args.test else "train")
+    bundle = build_baseline_seg_bundle(args, rng)
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="seg")
+    if fewshot:
+        _apply_fewshot(args, datasets, "seg")
+    return run_supervised(args, bundle, datasets, run_path, "baselines_segmentation")
 
+
+def build_baseline_seg_bundle(args, rng):
+    """UNet baseline segmenter, dataset-free (shared by the train driver and
+    the serving CLI)."""
     params, bn_state = unet_init(rng, args.in_channels, args.num_classes,
                                  init_channels=args.init_channels)
     params = {"model": params}
     logging.info(model_summary({"model": params}, trainable_pred=lambda _: True))
-
-    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="seg")
-    if fewshot:
-        _apply_fewshot(args, datasets, "seg")
 
     def forward_train(p_, bn, batch, rng):
         rng, drng = jax.random.split(rng)
@@ -328,7 +363,6 @@ def baselines_segmentation_main(argv=None, *, fewshot: bool = False):
         logits, _ = unet_apply(p_["model"], bn, x, train=False)
         return logits
 
-    bundle = Bundle(task="seg", params=params, trainable_pred=lambda _: True,
-                    forward_train=forward_train, forward_eval=forward_eval,
-                    bn_state=bn_state)
-    return run_supervised(args, bundle, datasets, run_path, "baselines_segmentation")
+    return Bundle(task="seg", params=params, trainable_pred=lambda _: True,
+                  forward_train=forward_train, forward_eval=forward_eval,
+                  bn_state=bn_state)

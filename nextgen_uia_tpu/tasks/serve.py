@@ -92,10 +92,44 @@ def _batches(paths, batch_size, img_size, workers):
                 [ok for _, ok in loaded]
 
 
+CLIP_FAMILIES = ("biomedclip", "openai", "metaclip", "unimedclip")
+# supervised-engine families: (family, task) -> dataset-free bundle builder
+# name in tasks/other_tasks.py + the flag adder its parser needs
+BUNDLE_FAMILIES = {
+    ("dino", "cls"): ("build_dino_cls_bundle", "add_dino_flags"),
+    ("dino", "seg"): ("build_dino_seg_bundle", "add_dino_flags"),
+    ("clipseg", "seg"): ("build_clipseg_bundle", "add_clipseg_flags"),
+    ("baselines", "cls"): ("build_baseline_cls_bundle", "add_baseline_cls_flags"),
+    ("baselines", "seg"): ("build_baseline_seg_bundle", "add_baseline_seg_flags"),
+}
+
+
 def predict_main(family: str = "biomedclip", argv=None):
+    import argparse
+
+    from . import other_tasks as OT
+
+    is_clip = family in CLIP_FAMILIES
+    default_task = "zero_shot" if is_clip else (
+        "seg" if family == "clipseg" else "cls")
+    tasks = (["zero_shot", "cls", "seg"] if is_clip
+             else sorted({t for (f, t) in BUNDLE_FAMILIES if f == family}))
+    # the family+task pair decides which extra flags the parser carries, so
+    # peek at --task before building the real parser
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--task", type=str, default=default_task)
+    task = pre.parse_known_args(argv)[0].task
+    if task not in tasks:
+        raise SystemExit(f"{family} predict supports --task {tasks}, not {task!r}")
+
     p = base_parser(f"{family}_predict", batch_size=32)
-    p.add_argument("--task", type=str, default="zero_shot",
-                   choices=["zero_shot", "cls", "seg"])
+    p.add_argument("--task", type=str, default=default_task, choices=tasks)
+    if not is_clip:
+        adder = getattr(OT, BUNDLE_FAMILIES[(family, task)][1])
+        if family == "dino":
+            adder(p, seg=(task == "seg"))
+        else:
+            adder(p)
     p.add_argument("--images", type=str, required=True,
                    help="directory of images or a .txt list of paths")
     p.add_argument("--out", type=str, default=None,
@@ -151,6 +185,39 @@ def predict_main(family: str = "biomedclip", argv=None):
         names = _names(args, classes)
         _run_cls(paths, args, fwd.dp_width, fwd.batch_sharding, infer, params,
                  names, out_dir)
+    elif not is_clip:
+        # supervised-engine family (dino/clipseg/baselines): serve through
+        # the SAME Bundle.forward_eval the train driver evaluates with
+        bundle = getattr(OT, BUNDLE_FAMILIES[(family, task)][0])(args, rng)
+        params, bn_state = bundle.params, bundle.bn_state
+        if args.head_weights:
+            payload = {"params": params}
+            if bn_state is not None:
+                payload["bn"] = bn_state
+            loaded, n = ckpt.load_into(args.head_weights, payload)
+            params, bn_state = loaded["params"], loaded.get("bn", bn_state)
+            logging.info(f"Loaded {n} tensors from {args.head_weights}")
+        else:
+            logging.warning("serving without --head_weights: trained "
+                            "components are RANDOM")
+
+        def fn(trainable, fz, batch):
+            return bundle.forward_eval(trainable, fz.get("bn"), batch["image"])
+
+        sfwd, sharding, dp = T.make_sharded_apply(fn, mesh)
+        frozen_pack = {"bn": bn_state} if bn_state is not None else {}
+
+        def infer(params_, images_u8):
+            return sfwd(params_, frozen_pack, {"image": images_u8})
+
+        export_fn = ((lambda p_, im: fn(p_, frozen_pack, {"image": im}))
+                     if args.export else None)
+        export_params = params
+        if task == "cls":
+            names = _names(args, [str(i) for i in range(args.num_classes)])
+            _run_cls(paths, args, dp, sharding, infer, params, names, out_dir)
+        else:
+            _run_seg(paths, args, dp, sharding, infer, params, out_dir)
     else:
         cfg, hcfg, params = _build_supervised(args, family, args.task, rng)
         if not args.head_weights:

@@ -113,6 +113,57 @@ def test_predict_survives_corrupt_image(tmp_path, monkeypatch):
             assert rows[p]["status"] == "ok" and rows[p]["pred"]
 
 
+def test_predict_dino_cls_e2e(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    paths = _make_images(tmp_path / "imgs", n=5)
+    from nextgen_uia_tpu.tasks.dino.predict import main
+
+    out = main(["--task", "cls", "--images", str(tmp_path / "imgs"),
+                "--exp", "srv_dino", "--num_classes", "2"] + COMMON)
+    with open(os.path.join(out["out"], "predictions.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == len(paths)
+    assert all(r["pred"] in ("0", "1") for r in rows)
+
+
+def test_predict_clipseg_e2e(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    paths = _make_images(tmp_path / "imgs", n=3)
+    from nextgen_uia_tpu.tasks.clipseg.predict import main
+
+    out = main(["--images", str(tmp_path / "imgs"), "--dataset", "BUSI",
+                "--exp", "srv_cseg"] + COMMON)  # default task: seg
+    masks = glob.glob(os.path.join(out["out"], "*_mask.png"))
+    assert len(masks) == len(paths)
+
+
+def test_predict_baselines_seg_trained_roundtrip(tmp_path, monkeypatch):
+    """The strongest serving contract: a checkpoint TRAINED by the baselines
+    driver (UNet + BN running stats) serves directly via --head_weights."""
+    from synth_data import make_synth_root
+
+    root, _, _ = make_synth_root(tmp_path / "data", dataset="BUSI", n=12,
+                                 img_size=32)
+    monkeypatch.chdir(tmp_path)
+    from nextgen_uia_tpu.tasks.baselines.predict import main as predict
+    from nextgen_uia_tpu.tasks.baselines.segmentation import main as train
+
+    train(["--dataset", "BUSI", "--data_root", str(root), "--exp", "bl",
+           "--epochs", "1", "--val_interval", "1", "--patience", "3"]
+          + COMMON)
+    ckpts = glob.glob("runs/bl/BUSI/train/best_model.npz")
+    assert ckpts, "training must save a best model"
+
+    paths = _make_images(tmp_path / "imgs", n=3)
+    out = predict(["--task", "seg", "--images", str(tmp_path / "imgs"),
+                   "--exp", "srv_bl", "--head_weights", ckpts[0]] + COMMON)
+    masks = glob.glob(os.path.join(out["out"], "*_mask.png"))
+    assert len(masks) == len(paths)
+    with open(os.path.join(out["out"], "index.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert all(r["status"] == "ok" for r in rows)
+
+
 def test_predict_images_txt_list(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     paths = _make_images(tmp_path / "imgs", n=3)
