@@ -69,10 +69,19 @@ def load_into(path: str, params):
 
 
 def save_train_state(path: str, state, extra: dict | None = None) -> int:
-    """Atomic full-state save; ``extra`` holds host scalars (epoch, best...)."""
+    """Atomic full-state save; ``extra`` holds host scalars (epoch, best...).
+
+    ``extra`` rides INSIDE the .npz (key ``__meta__``) so the state and its
+    position metadata publish in one os.replace — a preemption kill between
+    two file writes can never pair new state with stale meta (which would
+    silently double-apply the epoch's updates on resume). The sidecar
+    .meta.json is still written afterwards for human inspection only.
+    """
     import json
 
     flat = {p: np.asarray(v) for p, v in flatten_with_paths(state) if v is not None}
+    if extra is not None:
+        flat["__meta__"] = np.array(json.dumps(extra))
     tmp = path + ".tmp.npz"  # explicit .npz so np.savez doesn't append one
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(tmp, **flat)
@@ -80,7 +89,7 @@ def save_train_state(path: str, state, extra: dict | None = None) -> int:
     if extra is not None:
         with open(path + ".meta.json", "w") as f:
             json.dump(extra, f)
-    return len(flat)
+    return len(flat) - (1 if extra is not None else 0)
 
 
 def load_train_state(path: str, state_template):
@@ -92,6 +101,7 @@ def load_train_state(path: str, state_template):
 
     with np.load(path) as data:
         saved = {k: data[k] for k in data.files}
+    meta_arr = saved.pop("__meta__", None)
 
     def fill(p, v):
         key = path_str(p)
@@ -100,8 +110,12 @@ def load_train_state(path: str, state_template):
         return jax.numpy.asarray(saved[key])
 
     state = jax.tree_util.tree_map_with_path(fill, state_template)
-    extra = {}
-    if os.path.exists(path + ".meta.json"):
-        with open(path + ".meta.json") as f:
-            extra = json.load(f)
+    if meta_arr is not None:
+        # authoritative: published atomically with the state itself
+        extra = json.loads(str(meta_arr.item()))
+    else:
+        extra = {}
+        if os.path.exists(path + ".meta.json"):  # pre-__meta__ checkpoints
+            with open(path + ".meta.json") as f:
+                extra = json.load(f)
     return state, extra

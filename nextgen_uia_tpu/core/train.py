@@ -451,6 +451,19 @@ class EarlyStopper:
         return self.counter >= self.patience
 
 
+def stopper_meta(stopper: EarlyStopper) -> dict:
+    """The early-stop fields every resumable checkpoint must carry — one
+    schema shared by both train engines (restore with restore_stopper)."""
+    return {"best": stopper.best, "best_epoch": stopper.best_step,
+            "patience_counter": stopper.counter}
+
+
+def restore_stopper(stopper: EarlyStopper, meta: dict) -> None:
+    stopper.best = meta.get("best")
+    stopper.best_step = int(meta.get("best_epoch", -1))
+    stopper.counter = int(meta.get("patience_counter", 0))
+
+
 class GracefulShutdown:
     """Preemption handler for the train engines.
 

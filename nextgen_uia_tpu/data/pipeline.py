@@ -31,22 +31,30 @@ def collate(items):
 
 
 def batches(dataset, batch_size: int, *, shuffle: bool, drop_last: bool,
-            seed: int | None = None, workers: int = 8):
-    """Yield collated batches; item loading is parallelised across threads."""
+            seed: int | None = None, workers: int = 8,
+            skip_batches: int = 0):
+    """Yield collated batches; item loading is parallelised across threads.
+
+    ``skip_batches`` drops the first N batches at the INDEX level — no
+    item is decoded for them. Mid-epoch resume uses this to replay the
+    seeded order from position N for free (same seed -> same order, so the
+    skipped prefix is exactly what the preempted run already consumed).
+    """
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
     limit = (n // batch_size) * batch_size if drop_last else n
+    first = skip_batches * batch_size
     if workers <= 0:  # synchronous load (reference num_workers=0 semantics)
-        for start in range(0, limit, batch_size):
+        for start in range(first, limit, batch_size):
             idxs = order[start:start + batch_size]
             if len(idxs) == 0:
                 break
             yield collate([dataset[i] for i in idxs])
         return
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        for start in range(0, limit, batch_size):
+        for start in range(first, limit, batch_size):
             idxs = order[start:start + batch_size]
             if len(idxs) == 0:
                 break

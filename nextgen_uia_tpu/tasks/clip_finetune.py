@@ -282,9 +282,10 @@ def finetune_main(family: str, argv=None):
     if use_text_cache:
         cache_text_features([train_rows, val_rows])
 
-    def tokenized_batches(ds, shuffle, drop_last, seed):
+    def tokenized_batches(ds, shuffle, drop_last, seed, skip_batches=0):
         for b in P.batches(ds, args.batch_size, shuffle=shuffle, drop_last=drop_last,
-                           seed=seed, workers=args.num_workers):
+                           seed=seed, workers=args.num_workers,
+                           skip_batches=skip_batches):
             if use_text_cache:
                 b["txt_feat"] = np.stack([text_cache[c] for c in b["caption"]])
             else:
@@ -317,9 +318,7 @@ def finetune_main(family: str, argv=None):
         skip_updates = int(meta.get("updates_into_epoch", 0))
         update_count = int(meta.get("update_count", 0))
         applied_count = int(meta.get("applied_count", update_count))
-        stopper.best = meta.get("best")
-        stopper.best_step = int(meta.get("best_epoch", -1))
-        stopper.counter = int(meta.get("patience_counter", 0))
+        T.restore_stopper(stopper, meta)
         logging.info(f"Resumed from {last_path} at epoch {start_epoch} "
                      f"(step {int(state['step'])})")
 
@@ -328,22 +327,22 @@ def finetune_main(family: str, argv=None):
     shutdown = T.GracefulShutdown().install()
     for epoch in range(start_epoch, args.epochs):
         epoch_loss, nb = 0.0, 0
+        # Mid-epoch resume: the epoch's batch stream is deterministic
+        # (seed + epoch), so dropping the first N batches at the INDEX level
+        # (no decode cost — data/pipeline.py skip_batches) replays EXACTLY
+        # the data the preempted run had not yet consumed; one loader batch
+        # is one update (stack_microbatches splits it into microbatches).
+        # (The dropout rng chain restarts like any epoch-boundary resume —
+        # documented semantics: deterministic continuation, not bit-identical
+        # to an uninterrupted run.)
+        skip = skip_updates if epoch == start_epoch else 0
+        updates_this_epoch = skip
+        if skip:
+            logging.info(f"Mid-epoch resume: skipping {skip} already-applied "
+                         f"updates of epoch {epoch + 1}")
         gen = microbatched(tokenized_batches(train_ds, True, True,
-                                             args.seed + epoch))
-        updates_this_epoch = 0
-        if epoch == start_epoch and skip_updates:
-            # the epoch's batch stream is deterministic (seed + epoch), so
-            # dropping the first N updates replays EXACTLY the data the
-            # preempted run had not yet consumed. (The dropout rng chain
-            # restarts like any epoch-boundary resume — documented resume
-            # semantics: deterministic continuation, not bit-identical to an
-            # uninterrupted run.)
-            import itertools
-
-            gen = itertools.islice(gen, skip_updates, None)
-            updates_this_epoch = skip_updates
-            logging.info(f"Mid-epoch resume: skipping {skip_updates} "
-                         f"already-applied updates of epoch {epoch + 1}")
+                                             args.seed + epoch,
+                                             skip_batches=skip))
         for mb in P.prefetch_to_device(gen, sharding=mb_sharding):
             k, k1 = jax.random.split(k)
             state, m = step(state, frozen_train, mb, k1)
@@ -371,8 +370,7 @@ def finetune_main(family: str, argv=None):
             ckpt.save_train_state(last_path, state, extra={
                 "epoch": epoch, "updates_into_epoch": updates_this_epoch,
                 "update_count": update_count, "applied_count": applied_count,
-                "best": stopper.best, "best_epoch": stopper.best_step,
-                "patience_counter": stopper.counter})
+                **T.stopper_meta(stopper)})
             logging.warning(
                 f"Preempted at epoch {epoch + 1} after {updates_this_epoch} "
                 f"updates; train state saved to {last_path} — rerun with "
@@ -396,10 +394,12 @@ def finetune_main(family: str, argv=None):
             # (reference skips non-finite val losses, finetune.py:311-321)
             avg_val = float("inf")
             logging.warning("All validation losses non-finite this epoch")
-        avg_train = epoch_loss / max(nb, 1)
         writer.scalar("val/loss_per_epoch", avg_val, epoch + 1)
-        writer.scalar("train/loss_per_epoch", avg_train, epoch + 1)
-        logging.info(f"Epoch {epoch + 1}: Train={avg_train:.4f}, Val={avg_val:.4f}, "
+        if nb:  # a resume landing on the epoch boundary trains 0 updates
+            avg_train = epoch_loss / nb
+            writer.scalar("train/loss_per_epoch", avg_train, epoch + 1)
+        train_str = f"{epoch_loss / nb:.4f}" if nb else "n/a (resumed at boundary)"
+        logging.info(f"Epoch {epoch + 1}: Train={train_str}, Val={avg_val:.4f}, "
                      f"Best={stopper.best if stopper.best is not None else float('inf'):.4f}")
 
         if stopper.update(avg_val, epoch):
@@ -410,8 +410,7 @@ def finetune_main(family: str, argv=None):
         ckpt.save_train_state(last_path, state, extra={
             "epoch": epoch + 1, "updates_into_epoch": 0,
             "update_count": update_count, "applied_count": applied_count,
-            "best": stopper.best, "best_epoch": stopper.best_step,
-            "patience_counter": stopper.counter})
+            **T.stopper_meta(stopper)})
         if stopper.should_stop:
             logging.info(f"Early stopping at epoch {epoch + 1}")
             break

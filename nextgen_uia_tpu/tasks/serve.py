@@ -348,21 +348,28 @@ def _export_stablehlo(fn, params, args, out_dir):
     # probe against a TEMP weights file and publish both halves only after
     # it passes — a failed probe must not leave a mismatched pair on disk
     wtmp = wpath + ".tmp.npz"
-    ckpt.save(wtmp, params)
-    rebuilt = load_exported_params(wtmp)
-    if (jax.tree_util.tree_structure(rebuilt)
-            != jax.tree_util.tree_structure(params)):
-        os.remove(wtmp)
-        raise SystemExit(
-            "--export: the weight tree does not round-trip through the "
-            "numpy-only loader (load_exported_params supports dict/list "
-            "nodes; tuples or digit-keyed dicts in the param tree do not)")
-    probe = np.zeros(shape, np.uint8)
-    out = jax.export.deserialize(blob).call(rebuilt, probe)
-    assert np.all(np.isfinite(np.asarray(out, np.float32))), \
-        "exported forward produced non-finite output"
-    with open(path + ".tmp", "wb") as f:
-        f.write(blob)
+    try:
+        ckpt.save(wtmp, params)
+        rebuilt = load_exported_params(wtmp)
+        if (jax.tree_util.tree_structure(rebuilt)
+                != jax.tree_util.tree_structure(params)):
+            raise SystemExit(
+                "--export: the weight tree does not round-trip through the "
+                "numpy-only loader (load_exported_params supports dict/list "
+                "nodes; tuples or digit-keyed dicts in the param tree do not)")
+        probe = np.zeros(shape, np.uint8)
+        out = jax.export.deserialize(blob).call(rebuilt, probe)
+        assert np.all(np.isfinite(np.asarray(out, np.float32))), \
+            "exported forward produced non-finite output"
+        with open(path + ".tmp", "wb") as f:
+            f.write(blob)
+    except BaseException:
+        # a failed probe must leave NO artifact behind (multi-hundred-MB
+        # temp weights would otherwise accumulate across failed exports)
+        for leftover in (wtmp, path + ".tmp"):
+            if os.path.exists(leftover):
+                os.remove(leftover)
+        raise
     os.replace(wtmp, wpath)
     os.replace(path + ".tmp", path)
     logging.info(f"Exported StableHLO forward ({len(blob)} bytes) -> {path} "

@@ -235,9 +235,7 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
             start_epoch = int(meta.get("epoch", 0))
             skip_updates = int(meta.get("updates_into_epoch", 0))
             applied_updates = int(meta.get("applied_updates", 0))
-            stopper.best = meta.get("best")
-            stopper.best_step = int(meta.get("best_epoch", -1))
-            stopper.counter = int(meta.get("patience_counter", 0))
+            T.restore_stopper(stopper, meta)
             logging.info(f"Resumed from {last_path} at epoch {start_epoch} "
                          f"(step {int(state['step'])})")
 
@@ -247,18 +245,18 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
                 pack["bn"] = bn_state
             ckpt.save_train_state(last_path, pack, extra={
                 "epoch": epoch_, "updates_into_epoch": updates_into_epoch_,
-                "applied_updates": applied_updates, "best": stopper.best,
-                "best_epoch": stopper.best_step,
-                "patience_counter": stopper.counter})
+                "applied_updates": applied_updates,
+                **T.stopper_meta(stopper)})
 
         shutdown = T.GracefulShutdown().install()
         for epoch in range(start_epoch, args.epochs):
             epoch_loss, nb = 0.0, 0
-            def microbatched():
+            def microbatched(skip_batches=0):
                 for batch in P.batches(datasets["train"], args.batch_size,
                                        shuffle=True, drop_last=drop_last,
                                        seed=args.seed + epoch,
-                                       workers=args.num_workers):
+                                       workers=args.num_workers,
+                                       skip_batches=skip_batches):
                     mb = {kk: v for kk, v in batch.items() if kk != "name"}
                     mb = T.stack_microbatches(mb, 1)
                     if n_dp > 1:  # partial final batch: trim to a shardable size
@@ -268,16 +266,15 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
                         mb = {kk: v[:, :keep] for kk, v in mb.items()}
                     yield mb
 
-            gen = microbatched()
-            updates_this_epoch = 0
-            if epoch == start_epoch and skip_updates:
-                import itertools
-
-                gen = itertools.islice(gen, skip_updates, None)
-                updates_this_epoch = skip_updates
-                logging.info(f"Mid-epoch resume: skipping {skip_updates} "
+            # mid-epoch resume: skip at the index level (no decode cost —
+            # data/pipeline.py skip_batches); one loader batch = one update
+            skip = skip_updates if epoch == start_epoch else 0
+            updates_this_epoch = skip
+            if skip:
+                logging.info(f"Mid-epoch resume: skipping {skip} "
                              f"already-applied updates of epoch {epoch + 1}")
-            for mb in P.prefetch_to_device(gen, sharding=mb_sharding):
+            for mb in P.prefetch_to_device(microbatched(skip),
+                                           sharding=mb_sharding):
                 k, k1 = jax.random.split(k)
                 frozen_pack = {"params": frozen_train, "bn": bn_state}
                 state, m = step(state, frozen_pack, mb, k1)
@@ -297,7 +294,8 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
                     f"{updates_this_epoch} updates; train state saved to "
                     f"{last_path} — rerun with --resume to continue")
                 break
-            writer.scalar("train/loss", epoch_loss / max(nb, 1), epoch + 1)
+            if nb:  # a resume landing on the epoch boundary trains 0 updates
+                writer.scalar("train/loss", epoch_loss / nb, epoch + 1)
 
             # lr of the LAST update taken this epoch (the reference logs
             # scheduler.get_last_lr(); optax applies sched(k) at the 0-indexed
@@ -350,8 +348,11 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
                              f"{taccum.compute()[key_metric]:.4f}")
                 if stopper.should_stop:
                     logging.info(f"Early stopping at epoch {epoch + 1}")
-                    break
+            # save BEFORE any early-stop break so last_state always reflects
+            # this epoch (resuming with a raised --epochs must not replay it)
             _save_last(epoch + 1, 0)
+            if stopper.should_stop:
+                break
         shutdown.uninstall()
         writer.close()
         if shutdown.requested:

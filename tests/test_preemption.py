@@ -39,6 +39,25 @@ def test_graceful_shutdown_signal_roundtrip():
     assert signal.getsignal(signal.SIGTERM) is prev_term
 
 
+def test_train_state_meta_rides_inside_the_npz(tmp_path):
+    """The position metadata must publish ATOMICALLY with the state (one
+    os.replace) — the sidecar .meta.json is for human inspection only. A
+    preemption kill between two files must never pair new state with stale
+    meta (that would double-apply the epoch's updates on resume)."""
+    import jax.numpy as jnp
+
+    from nextgen_uia_tpu.core import checkpoint as ckpt
+
+    state = {"w": jnp.ones((2, 2)), "step": jnp.zeros(())}
+    path = str(tmp_path / "s.npz")
+    ckpt.save_train_state(path, state, extra={"epoch": 3,
+                                              "updates_into_epoch": 5})
+    os.remove(path + ".meta.json")  # prove the npz alone is authoritative
+    restored, meta = ckpt.load_train_state(path, state)
+    assert meta == {"epoch": 3, "updates_into_epoch": 5}
+    assert np.asarray(restored["w"]).shape == (2, 2)
+
+
 class TripAfter:
     """Stands in for GracefulShutdown: 'requested' flips True at the N-th
     read and stays True — deterministic mid-epoch preemption."""
