@@ -192,7 +192,14 @@ def _build_supervised(args, family: str, task: str, rng):
     head = pyramid_head_init(jax.random.fold_in(rng, 7), hcfg)
     params = {"backbone": backbone, "head": head}
     if args.head_weights:
-        params, n = ckpt.load_into(args.head_weights, params)
+        # checkpoints the supervised driver saves are rooted at 'params/'
+        # (run_supervised payload {'params': trainable}); bare-rooted trees
+        # (hand-built component checkpoints) remain accepted as a fallback
+        try:
+            loaded, n = ckpt.load_into(args.head_weights, {"params": params})
+            params = loaded["params"]
+        except ValueError:
+            params, n = ckpt.load_into(args.head_weights, params)
         logging.info(f"Loaded {n} tensors from {args.head_weights}")
     return cfg, hcfg, params
 

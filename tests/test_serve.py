@@ -164,6 +164,64 @@ def test_predict_baselines_seg_trained_roundtrip(tmp_path, monkeypatch):
     assert all(r["status"] == "ok" for r in rows)
 
 
+def test_predict_clip_cls_trained_roundtrip(tmp_path, monkeypatch):
+    """A PyramidHead checkpoint trained by the CLIP supervised driver serves
+    via --head_weights (the engine-side counterpart of the baselines test)."""
+    from synth_data import make_synth_root
+
+    root, _, _ = make_synth_root(tmp_path / "data", dataset="BUSI", n=12,
+                                 img_size=32)
+    monkeypatch.chdir(tmp_path)
+    from nextgen_uia_tpu.tasks.clip.classification import main as train
+    from nextgen_uia_tpu.tasks.clip.predict import main as predict
+
+    train(["--dataset", "BUSI", "--data_root", str(root), "--exp", "ccls2",
+           "--epochs", "1", "--val_interval", "1", "--patience", "3"]
+          + COMMON)
+    ckpts = glob.glob("runs/ccls2/BUSI/train/best_model.npz")
+    assert ckpts
+    paths = _make_images(tmp_path / "imgs", n=3)
+    out = predict(["--task", "cls", "--images", str(tmp_path / "imgs"),
+                   "--exp", "srv_ccls", "--head_weights", ckpts[0]] + COMMON)
+    with open(os.path.join(out["out"], "predictions.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 3 and all(r["status"] == "ok" for r in rows)
+
+    # the reference's evaluate-an-existing-checkpoint flow must accept the
+    # same driver-trained file (regression: 'params/'-rooted payloads once
+    # failed _build_supervised's name-intersection load)
+    stats = train(["--dataset", "BUSI", "--data_root", str(root), "--exp",
+                   "ccls2b", "--test", "--head_weights", ckpts[0]] + COMMON)
+    assert {"acc", "auc"} <= set(stats)
+
+
+def test_predict_zero_shot_with_finetuned_mona(tmp_path, monkeypatch):
+    """A MONA adapter checkpoint from the contrastive finetune driver plugs
+    into zero-shot serving via --mona_weights — the reference's headline
+    finetune->evaluate flow, ending at the serving CLI instead."""
+    from synth_data import make_finetune_csv
+
+    csv_path, img_dir = make_finetune_csv(tmp_path / "ft", n=16, img_size=32)
+    monkeypatch.chdir(tmp_path)
+    from nextgen_uia_tpu.tasks.biomedclip.finetune import main as finetune
+    from nextgen_uia_tpu.tasks.biomedclip.predict import main as predict
+
+    finetune(["--method", "mona", "--mona_variant", "hybrid", "--exp", "ftm",
+              "--epochs", "1", "--patience", "3", "--accumulation_steps", "1",
+              "--finetune_csvs", csv_path, "--finetune_img_dirs", img_dir]
+             + COMMON)
+    ckpts = glob.glob("runs/ftm/best_model.npz")
+    assert ckpts
+    paths = _make_images(tmp_path / "imgs", n=3)
+    out = predict(["--task", "zero_shot", "--images", str(tmp_path / "imgs"),
+                   "--dataset", "BUSI", "--exp", "srv_ftm",
+                   "--mona_weights", ckpts[0], "--mona_variant", "hybrid"]
+                  + COMMON)
+    with open(os.path.join(out["out"], "predictions.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 3 and all(r["status"] == "ok" for r in rows)
+
+
 def test_predict_images_txt_list(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     paths = _make_images(tmp_path / "imgs", n=3)
