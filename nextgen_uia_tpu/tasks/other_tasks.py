@@ -94,8 +94,15 @@ def build_clipseg_bundle(args, rng):
     decoder = clipseg_decoder_init(jax.random.fold_in(rng, 3), dcfg)
     params = {"backbone": backbone, "head": decoder}
     if args.decoder_ckpt:
-        loaded, n = ckpt.load_into(args.decoder_ckpt, {"head": decoder})
-        params["head"] = loaded["head"]
+        # the converter CLI writes decoder-rooted keys (film_mul/..., no
+        # 'head/' prefix); driver-trained best_model.npz roots at
+        # 'params/head/...'. Accept both.
+        try:
+            params["head"], n = ckpt.load_into(args.decoder_ckpt, decoder)
+        except ValueError:
+            loaded, n = ckpt.load_into(args.decoder_ckpt,
+                                       {"params": {"head": decoder}})
+            params["head"] = loaded["params"]["head"]
         logging.info(f"Loaded {n} decoder tensors from {args.decoder_ckpt}")
     logging.info(model_summary({"model": params}, trainable_pred=by_keywords("head")))
 

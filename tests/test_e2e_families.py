@@ -112,6 +112,35 @@ def test_clipseg_segmentation_e2e(synth):
     assert "dice_mean" in stats
 
 
+def test_clipseg_decoder_ckpt_loads_converter_root(tmp_path, monkeypatch):
+    """--decoder_ckpt must accept what the converter CLI actually writes:
+    decoder-rooted keys (film_mul/..., no 'head/' prefix). Regression — the
+    load once used a wrongly-rooted template and always raised."""
+    import jax
+
+    from nextgen_uia_tpu.core import checkpoint as ckpt
+    from nextgen_uia_tpu.tasks.common import base_parser
+    from nextgen_uia_tpu.tasks.other_tasks import (add_clipseg_flags,
+                                                   build_clipseg_bundle)
+
+    monkeypatch.chdir(tmp_path)
+    p = base_parser("clipseg_test")
+    add_clipseg_flags(p)
+    args = p.parse_args(["--debug_tiny", "--img_size", "32",
+                         "--compute_dtype", "float32"])
+    rng = jax.random.key(0)
+    b1 = build_clipseg_bundle(args, rng)
+    # perturb, save converter-style (decoder-rooted), reload through the flag
+    head = jax.tree.map(lambda a: a * 2.0 + 1.0, b1.params["head"])
+    dec_path = str(tmp_path / "dec.npz")
+    ckpt.save(dec_path, head)
+    args.decoder_ckpt = dec_path
+    b2 = build_clipseg_bundle(args, rng)
+    flat1 = jax.tree.leaves(head)
+    flat2 = jax.tree.leaves(b2.params["head"])
+    assert all(np.allclose(a, b) for a, b in zip(flat1, flat2))
+
+
 def test_dino_classification_e2e(synth):
     from nextgen_uia_tpu.tasks.dino.classification import main
 
