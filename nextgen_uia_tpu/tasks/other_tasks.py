@@ -312,7 +312,19 @@ def build_baseline_cls_bundle(args, rng):
     if args.backbone_ckpt:
         loaded, n = ckpt.load_into(args.backbone_ckpt, params)
         params = loaded
-        logging.info(f"Loaded {n} ResNet tensors from {args.backbone_ckpt}")
+        # converted torchvision checkpoints carry BN running stats under
+        # '__state__/' (convert CLI); dropping them would leave eval-mode
+        # BN at init statistics — garbage for a pretrained tower
+        ns = 0
+        try:
+            st, ns = ckpt.load_into(args.backbone_ckpt,
+                                    {"__state__": bn_state})
+            bn_state = st["__state__"]
+        except ValueError:
+            logging.warning(f"{args.backbone_ckpt} has no __state__/ BN "
+                            "running stats; keeping init statistics")
+        logging.info(f"Loaded {n} ResNet tensors (+{ns} BN state) from "
+                     f"{args.backbone_ckpt}")
     params = {"model": params}
     logging.info(model_summary({"model": params}, trainable_pred=lambda _: True))
 

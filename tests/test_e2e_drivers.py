@@ -93,3 +93,34 @@ def test_zero_shot_dp_matches_single_device(synth):
     dp = main(base + ["--batch_size", "8", "--exp", "zs8", "--n_data", "8"])
     for k in ("acc", "auc", "f1"):
         assert abs(single[k] - dp[k]) < 1e-6, (k, single[k], dp[k])
+
+
+def test_baselines_backbone_ckpt_loads_bn_state(tmp_path, monkeypatch):
+    """--backbone_ckpt must restore the '__state__/' BN running stats the
+    converter CLI writes — regression: they were silently dropped, leaving
+    eval-mode BN at init statistics for pretrained towers."""
+    import jax
+    import numpy as np
+
+    from nextgen_uia_tpu.core import checkpoint as ckpt
+    from nextgen_uia_tpu.tasks.common import base_parser
+    from nextgen_uia_tpu.tasks.other_tasks import (add_baseline_cls_flags,
+                                                   build_baseline_cls_bundle)
+
+    monkeypatch.chdir(tmp_path)
+    p = base_parser("bl_test")
+    add_baseline_cls_flags(p)
+    args = p.parse_args(["--img_size", "32", "--compute_dtype", "float32"])
+    rng = jax.random.key(0)
+    b1 = build_baseline_cls_bundle(args, rng)
+    # fabricate a converted-style checkpoint: bare param keys + perturbed
+    # running stats under __state__/ (exactly what the convert CLI writes)
+    perturbed = jax.tree.map(lambda a: a + 0.25, b1.bn_state)
+    path = str(tmp_path / "rn.npz")
+    # converter output roots the param keys at the bare resnet tree (the
+    # bundle wraps {'model': ...} only AFTER loading)
+    ckpt.save(path, {**b1.params["model"], "__state__": perturbed})
+    args.backbone_ckpt = path
+    b2 = build_baseline_cls_bundle(args, rng)
+    for a, b in zip(jax.tree.leaves(perturbed), jax.tree.leaves(b2.bn_state)):
+        assert np.allclose(a, b)
