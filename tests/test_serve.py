@@ -156,12 +156,18 @@ def test_predict_baselines_seg_trained_roundtrip(tmp_path, monkeypatch):
 
     paths = _make_images(tmp_path / "imgs", n=3)
     out = predict(["--task", "seg", "--images", str(tmp_path / "imgs"),
-                   "--exp", "srv_bl", "--head_weights", ckpts[0]] + COMMON)
+                   "--exp", "srv_bl", "--head_weights", ckpts[0],
+                   "--export", "unet.stablehlo"] + COMMON)
     masks = glob.glob(os.path.join(out["out"], "*_mask.png"))
     assert len(masks) == len(paths)
     with open(os.path.join(out["out"], "index.csv")) as f:
         rows = list(csv.DictReader(f))
     assert all(r["status"] == "ok" for r in rows)
+    # bundle-family export: module + weights pair written (probe ran at
+    # export time; BN running stats ride as baked constants)
+    assert os.path.exists(os.path.join(out["out"], "unet.stablehlo"))
+    assert os.path.exists(os.path.join(out["out"],
+                                       "unet.stablehlo.params.npz"))
 
 
 def test_predict_clip_cls_trained_roundtrip(tmp_path, monkeypatch):
