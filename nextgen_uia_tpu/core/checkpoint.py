@@ -34,20 +34,36 @@ def save(path: str, params, *, keyword_filter=None) -> int:
     return len(flat)
 
 
-def load_into(path: str, params):
-    """Name-intersection merge of a saved checkpoint into a param tree.
+class NoMatch(ValueError):
+    """Checkpoint/template name intersection is empty.
 
-    Returns (new_params, loaded_count); raises if nothing matched (mirroring
-    the reference's ``assert mona_params_loaded > 0``).
-    """
+    Distinct from the shape-mismatch ValueError so dual-root fallbacks
+    (driver ckpts root at 'params/head/...', converter ckpts at the component
+    root) can retry a different template WITHOUT swallowing a genuine
+    wrong-config error like a reduce_dim mismatch."""
+
+
+def load_flat(path: str) -> dict:
+    """Read a .npz checkpoint into a flat path->array dict (one file read,
+    shareable across several merge_flat templates)."""
     with np.load(path) as data:
-        saved = {k: data[k] for k in data.files}
+        return {k: data[k] for k in data.files}
 
+
+def merge_flat(saved: dict, params, *, source: str = "checkpoint", skip=()):
+    """Name-intersection merge of a flat path->array dict into a param tree.
+
+    ``skip``: path prefixes to leave at their template values even when the
+    checkpoint carries them (e.g. an ImageNet-width classifier head the task
+    replaces). Returns (new_params, loaded_count); raises NoMatch if nothing
+    matched (mirroring the reference's ``assert mona_params_loaded > 0``) and
+    plain ValueError on a shape mismatch.
+    """
     counter = {"n": 0}
 
     def merge_leaf(p, v):
         key = path_str(p)
-        if key in saved:
+        if key in saved and not any(key.startswith(s) for s in skip):
             arr = saved[key]
             if v is not None and tuple(arr.shape) != tuple(np.shape(v)):
                 raise ValueError(f"Shape mismatch for {key}: ckpt {arr.shape} vs model {np.shape(v)}")
@@ -57,8 +73,16 @@ def load_into(path: str, params):
 
     new_params = jax.tree_util.tree_map_with_path(merge_leaf, params)
     if counter["n"] == 0:
-        raise ValueError(f"No parameters from {path} matched the model tree")
+        raise NoMatch(f"No parameters from {source} matched the model tree")
     return new_params, counter["n"]
+
+
+def load_into(path: str, params, *, skip=()):
+    """Name-intersection merge of a saved checkpoint into a param tree.
+
+    Returns (new_params, loaded_count); raises NoMatch if nothing matched.
+    """
+    return merge_flat(load_flat(path), params, source=path, skip=skip)
 
 
 # ---------------------------------------------------------------------------
@@ -79,6 +103,10 @@ def save_train_state(path: str, state, extra: dict | None = None) -> int:
     """
     import json
 
+    # one batched device->host transfer for the whole tree — per-leaf
+    # np.asarray would issue one blocking fetch per array (~96 ms RTT on the
+    # TPU relay × hundreds of optimizer/BN leaves, every epoch)
+    state = jax.device_get(state)
     flat = {p: np.asarray(v) for p, v in flatten_with_paths(state) if v is not None}
     if extra is not None:
         flat["__meta__"] = np.array(json.dumps(extra))

@@ -325,97 +325,99 @@ def finetune_main(family: str, argv=None):
     # preemption: SIGTERM/SIGINT finishes the in-flight update, saves the
     # full train state (incl. position within the epoch), exits cleanly
     shutdown = T.GracefulShutdown().install()
-    for epoch in range(start_epoch, args.epochs):
-        epoch_loss, nb = 0.0, 0
-        # Mid-epoch resume: the epoch's batch stream is deterministic
-        # (seed + epoch), so dropping the first N batches at the INDEX level
-        # (no decode cost — data/pipeline.py skip_batches) replays EXACTLY
-        # the data the preempted run had not yet consumed; one loader batch
-        # is one update (stack_microbatches splits it into microbatches).
-        # (The dropout rng chain restarts like any epoch-boundary resume —
-        # documented semantics: deterministic continuation, not bit-identical
-        # to an uninterrupted run.)
-        skip = skip_updates if epoch == start_epoch else 0
-        updates_this_epoch = skip
-        if skip:
-            logging.info(f"Mid-epoch resume: skipping {skip} already-applied "
-                         f"updates of epoch {epoch + 1}")
-        gen = microbatched(tokenized_batches(train_ds, True, True,
-                                             args.seed + epoch,
-                                             skip_batches=skip))
-        for mb in P.prefetch_to_device(gen, sharding=mb_sharding):
-            k, k1 = jax.random.split(k)
-            state, m = step(state, frozen_train, mb, k1)
-            update_count += 1
-            updates_this_epoch += 1
-            n_skip = int(m["skipped"])
-            if n_skip < tcfg.accum_steps:
-                applied_count += 1
-            loss = float(m["loss"])
-            epoch_loss += loss
-            nb += 1
-            writer.scalar("train/loss_per_update", loss, update_count)
-            # lr used by this update (finetune.py:307 logs get_last_lr();
-            # optax applied sched(applied_count-1) for the 0-indexed count of
-            # TAKEN updates — a fully-skipped update reverts the schedule
-            # count, so the host counter must not advance past it either)
-            writer.scalar("train/lr", T.cosine_lr_value(tcfg, applied_count - 1),
-                          update_count)
-            if n_skip:
-                logging.warning(f"{n_skip} non-finite microbatches skipped "
-                                f"at update {update_count}")
+    try:
+        for epoch in range(start_epoch, args.epochs):
+            epoch_loss, nb = 0.0, 0
+            # Mid-epoch resume: the epoch's batch stream is deterministic
+            # (seed + epoch), so dropping the first N batches at the INDEX level
+            # (no decode cost — data/pipeline.py skip_batches) replays EXACTLY
+            # the data the preempted run had not yet consumed; one loader batch
+            # is one update (stack_microbatches splits it into microbatches).
+            # (The dropout rng chain restarts like any epoch-boundary resume —
+            # documented semantics: deterministic continuation, not bit-identical
+            # to an uninterrupted run.)
+            skip = skip_updates if epoch == start_epoch else 0
+            updates_this_epoch = skip
+            if skip:
+                logging.info(f"Mid-epoch resume: skipping {skip} already-applied "
+                             f"updates of epoch {epoch + 1}")
+            gen = microbatched(tokenized_batches(train_ds, True, True,
+                                                 args.seed + epoch,
+                                                 skip_batches=skip))
+            for mb in P.prefetch_to_device(gen, sharding=mb_sharding):
+                k, k1 = jax.random.split(k)
+                state, m = step(state, frozen_train, mb, k1)
+                update_count += 1
+                updates_this_epoch += 1
+                n_skip = int(m["skipped"])
+                if n_skip < tcfg.accum_steps:
+                    applied_count += 1
+                loss = float(m["loss"])
+                epoch_loss += loss
+                nb += 1
+                writer.scalar("train/loss_per_update", loss, update_count)
+                # lr used by this update (finetune.py:307 logs get_last_lr();
+                # optax applied sched(applied_count-1) for the 0-indexed count of
+                # TAKEN updates — a fully-skipped update reverts the schedule
+                # count, so the host counter must not advance past it either)
+                writer.scalar("train/lr", T.cosine_lr_value(tcfg, applied_count - 1),
+                              update_count)
+                if n_skip:
+                    logging.warning(f"{n_skip} non-finite microbatches skipped "
+                                    f"at update {update_count}")
+                if shutdown.requested:
+                    break
             if shutdown.requested:
+                ckpt.save_train_state(last_path, state, extra={
+                    "epoch": epoch, "updates_into_epoch": updates_this_epoch,
+                    "update_count": update_count, "applied_count": applied_count,
+                    **T.stopper_meta(stopper)})
+                logging.warning(
+                    f"Preempted at epoch {epoch + 1} after {updates_this_epoch} "
+                    f"updates; train state saved to {last_path} — rerun with "
+                    "--resume to continue exactly here")
                 break
-        if shutdown.requested:
+
+            def val_batches():
+                for b in tokenized_batches(val_ds, False, False, None):
+                    b, n_real = T.pad_eval_batch(b, val_dp)
+                    b["n_real"] = n_real
+                    yield b
+
+            val_losses = [float(val_loss_fn(state["params"], frozen_train, b))
+                          for b in P.prefetch_to_device(val_batches(),
+                                                        sharding=val_sharding)]
+            val_losses = [v for v in val_losses if np.isfinite(v)]
+            if val_losses:
+                avg_val = float(np.mean(val_losses))
+            else:
+                # every val batch non-finite: never register as a new best
+                # (reference skips non-finite val losses, finetune.py:311-321)
+                avg_val = float("inf")
+                logging.warning("All validation losses non-finite this epoch")
+            writer.scalar("val/loss_per_epoch", avg_val, epoch + 1)
+            if nb:  # a resume landing on the epoch boundary trains 0 updates
+                avg_train = epoch_loss / nb
+                writer.scalar("train/loss_per_epoch", avg_train, epoch + 1)
+            train_str = f"{epoch_loss / nb:.4f}" if nb else "n/a (resumed at boundary)"
+            logging.info(f"Epoch {epoch + 1}: Train={train_str}, Val={avg_val:.4f}, "
+                         f"Best={stopper.best if stopper.best is not None else float('inf'):.4f}")
+
+            if stopper.update(avg_val, epoch):
+                full = merge(state["params"], frozen)
+                n = ckpt.save(best_path, full, keyword_filter=ckpt_keywords)
+                logging.info(f"Best model saved ({n} tensors) at epoch {epoch + 1} "
+                             f"with validation loss {stopper.best:.4f}")
             ckpt.save_train_state(last_path, state, extra={
-                "epoch": epoch, "updates_into_epoch": updates_this_epoch,
+                "epoch": epoch + 1, "updates_into_epoch": 0,
                 "update_count": update_count, "applied_count": applied_count,
                 **T.stopper_meta(stopper)})
-            logging.warning(
-                f"Preempted at epoch {epoch + 1} after {updates_this_epoch} "
-                f"updates; train state saved to {last_path} — rerun with "
-                "--resume to continue exactly here")
-            break
+            if stopper.should_stop:
+                logging.info(f"Early stopping at epoch {epoch + 1}")
+                break
 
-        def val_batches():
-            for b in tokenized_batches(val_ds, False, False, None):
-                b, n_real = T.pad_eval_batch(b, val_dp)
-                b["n_real"] = n_real
-                yield b
-
-        val_losses = [float(val_loss_fn(state["params"], frozen_train, b))
-                      for b in P.prefetch_to_device(val_batches(),
-                                                    sharding=val_sharding)]
-        val_losses = [v for v in val_losses if np.isfinite(v)]
-        if val_losses:
-            avg_val = float(np.mean(val_losses))
-        else:
-            # every val batch non-finite: never register as a new best
-            # (reference skips non-finite val losses, finetune.py:311-321)
-            avg_val = float("inf")
-            logging.warning("All validation losses non-finite this epoch")
-        writer.scalar("val/loss_per_epoch", avg_val, epoch + 1)
-        if nb:  # a resume landing on the epoch boundary trains 0 updates
-            avg_train = epoch_loss / nb
-            writer.scalar("train/loss_per_epoch", avg_train, epoch + 1)
-        train_str = f"{epoch_loss / nb:.4f}" if nb else "n/a (resumed at boundary)"
-        logging.info(f"Epoch {epoch + 1}: Train={train_str}, Val={avg_val:.4f}, "
-                     f"Best={stopper.best if stopper.best is not None else float('inf'):.4f}")
-
-        if stopper.update(avg_val, epoch):
-            full = merge(state["params"], frozen)
-            n = ckpt.save(best_path, full, keyword_filter=ckpt_keywords)
-            logging.info(f"Best model saved ({n} tensors) at epoch {epoch + 1} "
-                         f"with validation loss {stopper.best:.4f}")
-        ckpt.save_train_state(last_path, state, extra={
-            "epoch": epoch + 1, "updates_into_epoch": 0,
-            "update_count": update_count, "applied_count": applied_count,
-            **T.stopper_meta(stopper)})
-        if stopper.should_stop:
-            logging.info(f"Early stopping at epoch {epoch + 1}")
-            break
-
-    shutdown.uninstall()
+    finally:
+        shutdown.uninstall()
     writer.close()
     if shutdown.requested:
         # preempted: no "completed" claim, no chained eval on a partial run

@@ -198,7 +198,7 @@ def _build_supervised(args, family: str, task: str, rng):
         try:
             loaded, n = ckpt.load_into(args.head_weights, {"params": params})
             params = loaded["params"]
-        except ValueError:
+        except ckpt.NoMatch:
             params, n = ckpt.load_into(args.head_weights, params)
         logging.info(f"Loaded {n} tensors from {args.head_weights}")
     return cfg, hcfg, params

@@ -99,7 +99,7 @@ def build_clipseg_bundle(args, rng):
         # 'params/head/...'. Accept both.
         try:
             params["head"], n = ckpt.load_into(args.decoder_ckpt, decoder)
-        except ValueError:
+        except ckpt.NoMatch:
             loaded, n = ckpt.load_into(args.decoder_ckpt,
                                        {"params": {"head": decoder}})
             params["head"] = loaded["params"]["head"]
@@ -157,7 +157,7 @@ def _build_dino(args, rng):
         try:
             wrapped, n = _ck.load_into(args.backbone_ckpt, wrapped)
             params = wrapped["encoder"]
-        except ValueError:
+        except _ck.NoMatch:
             params, n = _ck.load_into(args.backbone_ckpt, params)
         logging.info(f"Loaded {n} DINOv2 tensors from {args.backbone_ckpt}")
     else:
@@ -310,17 +310,29 @@ def build_baseline_cls_bundle(args, rng):
     params, bn_state = resnet_init(rng, args.version, in_channels=args.in_channels,
                                    num_classes=args.num_classes)
     if args.backbone_ckpt:
-        loaded, n = ckpt.load_into(args.backbone_ckpt, params)
-        params = loaded
+        flat = ckpt.load_flat(args.backbone_ckpt)  # one read for both merges
+        # a converted ImageNet checkpoint carries a 1000-way fc head; the
+        # reference replaces the classifier for the task's classes
+        # (models/baselines — torchvision weights + new fc), so a
+        # width-mismatched head stays at init instead of crashing the load
+        skip = ()
+        fcw = flat.get("fc/w")
+        if fcw is not None and tuple(fcw.shape) != params["fc"]["w"].shape:
+            skip = ("fc/",)
+            logging.info(f"--backbone_ckpt fc head is {tuple(fcw.shape)}, "
+                         f"model wants {params['fc']['w'].shape}: "
+                         "reinitializing fc (reference replaces the head)")
+        params, n = ckpt.merge_flat(flat, params, source=args.backbone_ckpt,
+                                    skip=skip)
         # converted torchvision checkpoints carry BN running stats under
         # '__state__/' (convert CLI); dropping them would leave eval-mode
         # BN at init statistics — garbage for a pretrained tower
         ns = 0
         try:
-            st, ns = ckpt.load_into(args.backbone_ckpt,
-                                    {"__state__": bn_state})
+            st, ns = ckpt.merge_flat(flat, {"__state__": bn_state},
+                                     source=args.backbone_ckpt)
             bn_state = st["__state__"]
-        except ValueError:
+        except ckpt.NoMatch:
             logging.warning(f"{args.backbone_ckpt} has no __state__/ BN "
                             "running stats; keeping init statistics")
         logging.info(f"Loaded {n} ResNet tensors (+{ns} BN state) from "

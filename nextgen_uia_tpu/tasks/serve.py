@@ -45,6 +45,7 @@ from ..core.experiment import setup_logging
 from ..core.mesh import make_mesh
 from ..data import datasets as D
 from ..data import pipeline as P
+from . import other_tasks as OT
 from . import prompts as PR
 from .clip_tasks import (_build_supervised, _make_forward, build_text_features,
                          make_zero_shot_logits_fn)
@@ -94,20 +95,20 @@ def _batches(paths, batch_size, img_size, workers):
 
 CLIP_FAMILIES = ("biomedclip", "openai", "metaclip", "unimedclip")
 # supervised-engine families: (family, task) -> dataset-free bundle builder
-# name in tasks/other_tasks.py + the flag adder its parser needs
+# in tasks/other_tasks.py + the flag adder its parser needs
 BUNDLE_FAMILIES = {
-    ("dino", "cls"): ("build_dino_cls_bundle", "add_dino_flags"),
-    ("dino", "seg"): ("build_dino_seg_bundle", "add_dino_flags"),
-    ("clipseg", "seg"): ("build_clipseg_bundle", "add_clipseg_flags"),
-    ("baselines", "cls"): ("build_baseline_cls_bundle", "add_baseline_cls_flags"),
-    ("baselines", "seg"): ("build_baseline_seg_bundle", "add_baseline_seg_flags"),
+    ("dino", "cls"): (OT.build_dino_cls_bundle, OT.add_dino_flags),
+    ("dino", "seg"): (OT.build_dino_seg_bundle, OT.add_dino_flags),
+    ("clipseg", "seg"): (OT.build_clipseg_bundle, OT.add_clipseg_flags),
+    ("baselines", "cls"): (OT.build_baseline_cls_bundle,
+                           OT.add_baseline_cls_flags),
+    ("baselines", "seg"): (OT.build_baseline_seg_bundle,
+                           OT.add_baseline_seg_flags),
 }
 
 
 def predict_main(family: str = "biomedclip", argv=None):
     import argparse
-
-    from . import other_tasks as OT
 
     is_clip = family in CLIP_FAMILIES
     default_task = "zero_shot" if is_clip else (
@@ -125,7 +126,7 @@ def predict_main(family: str = "biomedclip", argv=None):
     p = base_parser(f"{family}_predict", batch_size=32)
     p.add_argument("--task", type=str, default=default_task, choices=tasks)
     if not is_clip:
-        adder = getattr(OT, BUNDLE_FAMILIES[(family, task)][1])
+        adder = BUNDLE_FAMILIES[(family, task)][1]
         if family == "dino":
             adder(p, seg=(task == "seg"))
         else:
@@ -188,7 +189,7 @@ def predict_main(family: str = "biomedclip", argv=None):
     elif not is_clip:
         # supervised-engine family (dino/clipseg/baselines): serve through
         # the SAME Bundle.forward_eval the train driver evaluates with
-        bundle = getattr(OT, BUNDLE_FAMILIES[(family, task)][0])(args, rng)
+        bundle = BUNDLE_FAMILIES[(family, task)][0](args, rng)
         params, bn_state = bundle.params, bundle.bn_state
         if args.head_weights:
             payload = {"params": params}
@@ -210,9 +211,18 @@ def predict_main(family: str = "biomedclip", argv=None):
         def infer(params_, images_u8):
             return sfwd(params_, frozen_pack, {"image": images_u8})
 
-        export_fn = ((lambda p_, im: fn(p_, frozen_pack, {"image": im}))
-                     if args.export else None)
-        export_params = params
+        # export must not bake BN running stats in as module constants —
+        # the repo-wide export invariant is weights-as-ARGUMENTS (all of the
+        # forward's numerics ship inspectable/swappable in the .params.npz)
+        if bn_state is not None:
+            export_fn = ((lambda p_, im: fn(p_["params"], {"bn": p_["bn"]},
+                                            {"image": im}))
+                         if args.export else None)
+            export_params = {"params": params, "bn": bn_state}
+        else:
+            export_fn = ((lambda p_, im: fn(p_, {}, {"image": im}))
+                         if args.export else None)
+            export_params = params
         if task == "cls":
             names = _names(args, [str(i) for i in range(args.num_classes)])
             _run_cls(paths, args, dp, sharding, infer, params, names, out_dir)

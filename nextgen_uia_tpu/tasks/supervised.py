@@ -249,111 +249,113 @@ def run_supervised(args, bundle: Bundle, datasets, run_path: str, tag: str):
                 **T.stopper_meta(stopper)})
 
         shutdown = T.GracefulShutdown().install()
-        for epoch in range(start_epoch, args.epochs):
-            epoch_loss, nb = 0.0, 0
-            def microbatched(skip_batches=0):
-                for batch in P.batches(datasets["train"], args.batch_size,
-                                       shuffle=True, drop_last=drop_last,
-                                       seed=args.seed + epoch,
-                                       workers=args.num_workers,
-                                       skip_batches=skip_batches):
-                    mb = {kk: v for kk, v in batch.items() if kk != "name"}
-                    mb = T.stack_microbatches(mb, 1)
-                    if n_dp > 1:  # partial final batch: trim to a shardable size
-                        keep = (next(iter(mb.values())).shape[1] // n_dp) * n_dp
-                        if keep == 0:
-                            continue
-                        mb = {kk: v[:, :keep] for kk, v in mb.items()}
-                    yield mb
+        try:
+            for epoch in range(start_epoch, args.epochs):
+                epoch_loss, nb = 0.0, 0
+                def microbatched(skip_batches=0):
+                    for batch in P.batches(datasets["train"], args.batch_size,
+                                           shuffle=True, drop_last=drop_last,
+                                           seed=args.seed + epoch,
+                                           workers=args.num_workers,
+                                           skip_batches=skip_batches):
+                        mb = {kk: v for kk, v in batch.items() if kk != "name"}
+                        mb = T.stack_microbatches(mb, 1)
+                        if n_dp > 1:  # partial final batch: trim to a shardable size
+                            keep = (next(iter(mb.values())).shape[1] // n_dp) * n_dp
+                            if keep == 0:
+                                continue
+                            mb = {kk: v[:, :keep] for kk, v in mb.items()}
+                        yield mb
 
-            # mid-epoch resume: skip at the index level (no decode cost —
-            # data/pipeline.py skip_batches); one loader batch = one update
-            skip = skip_updates if epoch == start_epoch else 0
-            updates_this_epoch = skip
-            if skip:
-                logging.info(f"Mid-epoch resume: skipping {skip} "
-                             f"already-applied updates of epoch {epoch + 1}")
-            for mb in P.prefetch_to_device(microbatched(skip),
-                                           sharding=mb_sharding):
-                k, k1 = jax.random.split(k)
-                frozen_pack = {"params": frozen_train, "bn": bn_state}
-                state, m = step(state, frozen_pack, mb, k1)
-                if bn_state is not None:
-                    bn_state = m["aux"]
-                if int(m["skipped"]) < tcfg.accum_steps:
-                    applied_updates += 1
-                epoch_loss += float(m["loss"])
-                nb += 1
-                updates_this_epoch += 1
-                if shutdown.requested:
-                    break
-            if shutdown.requested:
-                _save_last(epoch, updates_this_epoch)
-                logging.warning(
-                    f"Preempted at epoch {epoch + 1} after "
-                    f"{updates_this_epoch} updates; train state saved to "
-                    f"{last_path} — rerun with --resume to continue")
-                break
-            if nb:  # a resume landing on the epoch boundary trains 0 updates
-                writer.scalar("train/loss", epoch_loss / nb, epoch + 1)
-
-            # lr of the LAST update taken this epoch (the reference logs
-            # scheduler.get_last_lr(); optax applies sched(k) at the 0-indexed
-            # count of TAKEN updates — fully-skipped ones revert the schedule
-            # count, so count applied updates host-side, not state['step'])
-            writer.scalar("train/lr",
-                          T.cosine_lr_value(tcfg, applied_updates - 1),
-                          epoch + 1)
-
-            if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
-                trainable_now = state["params"]
-                accum, _, vis = evaluate(
-                    "val", trainable_now, bn_state,
-                    max_vis_batches=1 if writer.enabled else 0)
-                stats = accum.compute()
-                val_metric = stats[key_metric]
-                # every val stat as a scalar + per-task extras, mirroring the
-                # reference's val rounds (segmentation.py:215-226 image grids,
-                # classification.py:214-227 ROC figure); payloads are only
-                # built when tensorboard is actually attached
-                for sk, sv in stats.items():
-                    if np.isscalar(sv) or getattr(sv, "ndim", 1) == 0:
-                        writer.scalar(f"val/{sk}", float(sv), epoch + 1)
-                if task == "seg" and vis and writer.enabled:
-                    images_u8, gt, logits = vis[0]
-                    n = min(4, len(images_u8))
-                    writer.images("val/input_images",
-                                  to_nchw01(images_u8[:n]), epoch + 1)
-                    writer.images("val/label_images",
-                                  gt[:n].astype(np.float32), epoch + 1)
-                    writer.images("val/pred_images",
-                                  np.argmax(logits[:n], axis=1)[:, None]
-                                  .astype(np.float32), epoch + 1)
-                elif task == "cls" and writer.enabled:
-                    import matplotlib.pyplot as plt
-
-                    fig, _ = roc_figure(*accum.all())
-                    writer.figure("val/roc_curve", fig, epoch + 1)
-                    plt.close(fig)
-                logging.info(f"Epoch {epoch + 1}: loss={epoch_loss / max(nb, 1):.4f} "
-                             f"val {key_metric}={val_metric:.4f}")
-                if stopper.update(val_metric, epoch):
-                    payload = {"params": trainable_now}
+                # mid-epoch resume: skip at the index level (no decode cost —
+                # data/pipeline.py skip_batches); one loader batch = one update
+                skip = skip_updates if epoch == start_epoch else 0
+                updates_this_epoch = skip
+                if skip:
+                    logging.info(f"Mid-epoch resume: skipping {skip} "
+                                 f"already-applied updates of epoch {epoch + 1}")
+                for mb in P.prefetch_to_device(microbatched(skip),
+                                               sharding=mb_sharding):
+                    k, k1 = jax.random.split(k)
+                    frozen_pack = {"params": frozen_train, "bn": bn_state}
+                    state, m = step(state, frozen_pack, mb, k1)
                     if bn_state is not None:
-                        payload["bn"] = bn_state
-                    n = ckpt.save(best_path, payload)
-                    logging.info(f"Best model saved ({n} tensors) at epoch {epoch + 1}")
-                taccum, _, _ = evaluate("test", trainable_now, bn_state)
-                logging.info(f"  [test during training] {key_metric}="
-                             f"{taccum.compute()[key_metric]:.4f}")
+                        bn_state = m["aux"]
+                    if int(m["skipped"]) < tcfg.accum_steps:
+                        applied_updates += 1
+                    epoch_loss += float(m["loss"])
+                    nb += 1
+                    updates_this_epoch += 1
+                    if shutdown.requested:
+                        break
+                if shutdown.requested:
+                    _save_last(epoch, updates_this_epoch)
+                    logging.warning(
+                        f"Preempted at epoch {epoch + 1} after "
+                        f"{updates_this_epoch} updates; train state saved to "
+                        f"{last_path} — rerun with --resume to continue")
+                    break
+                if nb:  # a resume landing on the epoch boundary trains 0 updates
+                    writer.scalar("train/loss", epoch_loss / nb, epoch + 1)
+
+                # lr of the LAST update taken this epoch (the reference logs
+                # scheduler.get_last_lr(); optax applies sched(k) at the 0-indexed
+                # count of TAKEN updates — fully-skipped ones revert the schedule
+                # count, so count applied updates host-side, not state['step'])
+                writer.scalar("train/lr",
+                              T.cosine_lr_value(tcfg, applied_updates - 1),
+                              epoch + 1)
+
+                if (epoch + 1) % args.val_interval == 0 or epoch == args.epochs - 1:
+                    trainable_now = state["params"]
+                    accum, _, vis = evaluate(
+                        "val", trainable_now, bn_state,
+                        max_vis_batches=1 if writer.enabled else 0)
+                    stats = accum.compute()
+                    val_metric = stats[key_metric]
+                    # every val stat as a scalar + per-task extras, mirroring the
+                    # reference's val rounds (segmentation.py:215-226 image grids,
+                    # classification.py:214-227 ROC figure); payloads are only
+                    # built when tensorboard is actually attached
+                    for sk, sv in stats.items():
+                        if np.isscalar(sv) or getattr(sv, "ndim", 1) == 0:
+                            writer.scalar(f"val/{sk}", float(sv), epoch + 1)
+                    if task == "seg" and vis and writer.enabled:
+                        images_u8, gt, logits = vis[0]
+                        n = min(4, len(images_u8))
+                        writer.images("val/input_images",
+                                      to_nchw01(images_u8[:n]), epoch + 1)
+                        writer.images("val/label_images",
+                                      gt[:n].astype(np.float32), epoch + 1)
+                        writer.images("val/pred_images",
+                                      np.argmax(logits[:n], axis=1)[:, None]
+                                      .astype(np.float32), epoch + 1)
+                    elif task == "cls" and writer.enabled:
+                        import matplotlib.pyplot as plt
+
+                        fig, _ = roc_figure(*accum.all())
+                        writer.figure("val/roc_curve", fig, epoch + 1)
+                        plt.close(fig)
+                    logging.info(f"Epoch {epoch + 1}: loss={epoch_loss / max(nb, 1):.4f} "
+                                 f"val {key_metric}={val_metric:.4f}")
+                    if stopper.update(val_metric, epoch):
+                        payload = {"params": trainable_now}
+                        if bn_state is not None:
+                            payload["bn"] = bn_state
+                        n = ckpt.save(best_path, payload)
+                        logging.info(f"Best model saved ({n} tensors) at epoch {epoch + 1}")
+                    taccum, _, _ = evaluate("test", trainable_now, bn_state)
+                    logging.info(f"  [test during training] {key_metric}="
+                                 f"{taccum.compute()[key_metric]:.4f}")
+                    if stopper.should_stop:
+                        logging.info(f"Early stopping at epoch {epoch + 1}")
+                # save BEFORE any early-stop break so last_state always reflects
+                # this epoch (resuming with a raised --epochs must not replay it)
+                _save_last(epoch + 1, 0)
                 if stopper.should_stop:
-                    logging.info(f"Early stopping at epoch {epoch + 1}")
-            # save BEFORE any early-stop break so last_state always reflects
-            # this epoch (resuming with a raised --epochs must not replay it)
-            _save_last(epoch + 1, 0)
-            if stopper.should_stop:
-                break
-        shutdown.uninstall()
+                    break
+        finally:
+            shutdown.uninstall()
         writer.close()
         if shutdown.requested:
             # preempted: no final test pass on a partial run

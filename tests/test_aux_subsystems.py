@@ -65,3 +65,29 @@ def test_profiling_utils(tmp_path):
     assert force_completion({"a": jnp.ones((2, 2)) * 3.0}) == 3.0
     with trace(None):
         pass  # no-op path
+
+
+def test_load_into_distinguishes_nomatch_from_shape_mismatch(tmp_path):
+    """Dual-root fallbacks catch ckpt.NoMatch; a genuine shape mismatch must
+    NOT be swallowed by them (it would mask a wrong-config error, e.g. a
+    reduce_dim mismatch, behind a misleading 'nothing matched' retry)."""
+    import numpy as np
+    import pytest
+
+    path = str(tmp_path / "c.npz")
+    ckpt.save(path, {"a": {"w": np.zeros((2, 3), np.float32)}})
+    # zero intersection -> NoMatch (a ValueError subclass, so old callers
+    # that catch ValueError keep working)
+    with pytest.raises(ckpt.NoMatch):
+        ckpt.load_into(path, {"b": {"w": np.zeros((2, 3), np.float32)}})
+    # name matches but the shape differs -> plain ValueError, not NoMatch
+    with pytest.raises(ValueError) as ei:
+        ckpt.load_into(path, {"a": {"w": np.zeros((9, 9), np.float32)}})
+    assert not isinstance(ei.value, ckpt.NoMatch)
+    # skip= leaves the listed prefixes at template values
+    tmpl = {"a": {"w": np.ones((9, 9), np.float32)},
+            "c": np.zeros((1,), np.float32)}
+    ckpt.save(path, {"a": {"w": np.zeros((2, 3), np.float32)},
+                     "c": np.ones((1,), np.float32)})
+    out, n = ckpt.load_into(path, tmpl, skip=("a/",))
+    assert n == 1 and out["a"]["w"].shape == (9, 9) and float(out["c"][0]) == 1.0

@@ -124,3 +124,41 @@ def test_baselines_backbone_ckpt_loads_bn_state(tmp_path, monkeypatch):
     b2 = build_baseline_cls_bundle(args, rng)
     for a, b in zip(jax.tree.leaves(perturbed), jax.tree.leaves(b2.bn_state)):
         assert np.allclose(a, b)
+
+
+def test_baselines_backbone_ckpt_skips_mismatched_fc(tmp_path, monkeypatch):
+    """A converted ImageNet checkpoint carries a 1000-way fc head; the task
+    replaces the classifier (reference semantics), so the load must skip a
+    width-mismatched fc instead of crashing on the shape check — regression:
+    load_into raised ValueError before any tensor loaded."""
+    import jax
+    import numpy as np
+
+    from nextgen_uia_tpu.core import checkpoint as ckpt
+    from nextgen_uia_tpu.tasks.common import base_parser
+    from nextgen_uia_tpu.tasks.other_tasks import (add_baseline_cls_flags,
+                                                   build_baseline_cls_bundle)
+
+    monkeypatch.chdir(tmp_path)
+    p = base_parser("bl_fc")
+    add_baseline_cls_flags(p)
+    args = p.parse_args(["--img_size", "32", "--compute_dtype", "float32"])
+    rng = jax.random.key(0)
+    b1 = build_baseline_cls_bundle(args, rng)
+    # fabricate an "ImageNet-pretrained" checkpoint: same tower, 1000-way fc
+    model = b1.params["model"]
+    cin = model["fc"]["w"].shape[0]
+    tower = jax.tree.map(lambda a: a + 0.5,
+                         {k: v for k, v in model.items() if k != "fc"})
+    tower["fc"] = {"w": np.zeros((cin, 1000), np.float32),
+                   "b": np.zeros((1000,), np.float32)}
+    path = str(tmp_path / "rn_imnet.npz")
+    ckpt.save(path, {**tower, "__state__": b1.bn_state})
+    args.backbone_ckpt = path
+    b2 = build_baseline_cls_bundle(args, rng)  # must not raise
+    # tower weights loaded (perturbed values arrived) ...
+    assert np.allclose(np.asarray(jax.tree.leaves(b2.params["model"]["stem"])[0]),
+                       np.asarray(jax.tree.leaves(model["stem"])[0]) + 0.5)
+    # ... and fc stayed at the model's own 2-class init, not the 1000-way head
+    assert b2.params["model"]["fc"]["w"].shape == b1.params["model"]["fc"]["w"].shape
+    assert not np.allclose(np.asarray(b2.params["model"]["fc"]["w"]), 0.0)

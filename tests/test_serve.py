@@ -164,10 +164,19 @@ def test_predict_baselines_seg_trained_roundtrip(tmp_path, monkeypatch):
         rows = list(csv.DictReader(f))
     assert all(r["status"] == "ok" for r in rows)
     # bundle-family export: module + weights pair written (probe ran at
-    # export time; BN running stats ride as baked constants)
-    assert os.path.exists(os.path.join(out["out"], "unet.stablehlo"))
-    assert os.path.exists(os.path.join(out["out"],
-                                       "unet.stablehlo.params.npz"))
+    # export time); BN running stats ship as ARGUMENTS in the npz, not as
+    # baked module constants — a serving host can rebuild + call with them
+    art = os.path.join(out["out"], "unet.stablehlo")
+    assert os.path.exists(art)
+    import jax
+
+    from nextgen_uia_tpu.tasks.serve import load_exported_params
+
+    rebuilt = load_exported_params(art + ".params.npz")
+    assert "bn" in rebuilt and "params" in rebuilt
+    re = jax.export.deserialize(open(art, "rb").read())
+    seg = re.call(rebuilt, np.zeros((4, 32, 32), np.uint8))
+    assert np.all(np.isfinite(np.asarray(seg, np.float32)))
 
 
 def test_predict_clip_cls_trained_roundtrip(tmp_path, monkeypatch):
