@@ -80,25 +80,43 @@ def prefetch_to_device(iterator, *, size: int = 2, sharding=None):
     q: queue.Queue = queue.Queue(maxsize=size)
     sentinel = object()
     err = []
+    # set when the consumer abandons the generator (close/raise mid-epoch —
+    # e.g. a serving loop error): the producer must not stay blocked on a
+    # full queue forever, which would leak a thread + staged device buffers
+    # per abandoned epoch in a long-lived process
+    stop = threading.Event()
+
+    def put_or_stop(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in iterator:
-                q.put(transfer(batch))
+                if not put_or_stop(transfer(batch)):
+                    return
         except Exception as e:  # surface loader errors in the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            put_or_stop(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def to_model_input(images_u8: np.ndarray, in_channels: int = 3):

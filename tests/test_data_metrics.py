@@ -34,6 +34,21 @@ def test_dataset_and_pipeline(tmp_path):
     x = P.to_model_input(np.asarray(got[0]["image"]))
     assert x.shape == (2, 32, 32, 3) and x.max() <= 1.0
 
+    # abandoning the prefetch generator mid-stream (serving loop error) must
+    # release the producer thread — not leave it blocked on the full queue
+    import itertools
+    import threading
+
+    before = {t_.ident for t_ in threading.enumerate()}
+    endless = ({"image": np.zeros((2, 32, 32), np.uint8)} for _ in itertools.count())
+    gen = P.prefetch_to_device(endless, size=2)
+    next(gen)
+    gen.close()  # fires the generator's finally -> stop event
+    for t_ in threading.enumerate():
+        if t_.ident not in before:
+            t_.join(timeout=5.0)
+            assert not t_.is_alive(), "prefetch producer leaked after close()"
+
     # zero-shot union split
     zs = D.make_datasets(str(root), name, img_size=32, task="cls", zero_shot=True)
     assert len(zs["test"]) == 12
