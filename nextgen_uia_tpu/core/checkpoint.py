@@ -43,6 +43,14 @@ class NoMatch(ValueError):
     wrong-config error like a reduce_dim mismatch."""
 
 
+def peek_keys(path: str) -> list[str]:
+    """Names stored in a .npz checkpoint WITHOUT loading the arrays (npz
+    members are read lazily; ``files`` only parses the zip directory).
+    Used for adapter-type sniffing (tasks/common.py)."""
+    with np.load(path) as data:
+        return list(data.files)
+
+
 def load_flat(path: str) -> dict:
     """Read a .npz checkpoint into a flat path->array dict (one file read,
     shareable across several merge_flat templates)."""

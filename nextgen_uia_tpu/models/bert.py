@@ -37,6 +37,9 @@ class BertConfig:
     pad_id: int = 0
     mlp_impl: str = "auto"   # 'xla' required when BERT MLP weights train
     lora_alpha: float = 32.0  # scaling for text-tower LoRA slots (alpha/sqrt(r))
+    # dropout on the LoRA-branch input in train mode (reference LinearLoRA
+    # under --tune_text_encoder, lora.py:317-367; gated on rng presence)
+    lora_dropout: float = 0.0
     # 'fused_infer' = whole-layer Pallas megakernel (ops/fused_block.py,
     # FORWARD-ONLY contract) — set on eval paths and on the frozen in-step
     # text tower (its output never feeds jax.grad); 'auto' = per-sublayer
@@ -107,8 +110,12 @@ def _fused_bert_layer(layer, x, cfg: BertConfig, pad_bias, dtype):
                                  act="gelu", eps=cfg.ln_eps)
 
 
-def bert_apply(p, cfg: BertConfig, token_ids, *, attention_mask=None, dtype=None):
-    """token_ids [B, L] -> CLS-pooled, MLP-projected embedding [B, embed_dim]."""
+def bert_apply(p, cfg: BertConfig, token_ids, *, attention_mask=None,
+               dtype=None, rng=None):
+    """token_ids [B, L] -> CLS-pooled, MLP-projected embedding [B, embed_dim].
+
+    rng: pass only in train mode — enables LoRA-branch dropout on layers
+    carrying 'lora' slots (cfg.lora_dropout > 0)."""
     if attention_mask is None:
         attention_mask = (token_ids != cfg.pad_id).astype(jnp.float32)
     emb = p["embeddings"]
@@ -136,6 +143,10 @@ def bert_apply(p, cfg: BertConfig, token_ids, *, attention_mask=None, dtype=None
 
         mega = fused_block_should_run(opt_in_env="NEXTGEN_UIA_FUSED_BLOCK_BERT")
     for layer in p["layers"]:
+        lora_rng = None
+        if (rng is not None and cfg.lora_dropout > 0.0
+                and "lora" in layer["attn"]):
+            rng, lora_rng = jax.random.split(rng)
         # post-norm residual blocks (HF BERT layout). The frozen in-step
         # tower runs the whole layer through three Pallas kernels (head-major
         # qkv, attention+o+residual+LN epilogue, post-norm MLP+LN) — gated on
@@ -164,11 +175,13 @@ def bert_apply(p, cfg: BertConfig, token_ids, *, attention_mask=None, dtype=None
             # (ops/fused_attn_o.py) — frozen-Wo contract
             a_sum = mha(layer["attn"], x, num_heads=cfg.heads,
                         key_padding_bias=pad_bias, dtype=dtype,
-                        lora_alpha=cfg.lora_alpha, residual=x)
+                        lora_alpha=cfg.lora_alpha, residual=x,
+                        lora_dropout=cfg.lora_dropout, lora_rng=lora_rng)
         else:
             a_sum = x + mha(layer["attn"], x, num_heads=cfg.heads,
                             key_padding_bias=pad_bias, dtype=dtype,
-                            lora_alpha=cfg.lora_alpha)
+                            lora_alpha=cfg.lora_alpha,
+                            lora_dropout=cfg.lora_dropout, lora_rng=lora_rng)
         x = layernorm(layer["attn_ln"], a_sum, eps=cfg.ln_eps)
         h = run_mlp(layer["ffn"], x, "gelu", cfg.mlp_impl, dtype=dtype)
         x = layernorm(layer["ffn_ln"], x + h, eps=cfg.ln_eps)

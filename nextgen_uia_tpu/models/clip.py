@@ -48,15 +48,18 @@ class CLIPConfig:
 
 
 def clip_config(family: str, *, compute_dtype: str = "float32",
-                mona_variant: str = "hybrid", lora_alpha: float = 32.0) -> CLIPConfig:
+                mona_variant: str = "hybrid", lora_alpha: float = 32.0,
+                lora_dropout: float = 0.0) -> CLIPConfig:
     if family not in FAMILIES:
         raise ValueError(f"Unknown CLIP family {family!r}; choose from {FAMILIES}")
     if family == "biomedclip":
-        vision = dataclasses.replace(VIT_B16_TIMM, mona_variant=mona_variant, lora_alpha=lora_alpha)
+        vision = dataclasses.replace(VIT_B16_TIMM, mona_variant=mona_variant,
+                                     lora_alpha=lora_alpha, lora_dropout=lora_dropout)
         return CLIPConfig(family, vision, "bert",
-                          BertConfig(lora_alpha=lora_alpha),
+                          BertConfig(lora_alpha=lora_alpha, lora_dropout=lora_dropout),
                           compute_dtype=compute_dtype)
-    vision = dataclasses.replace(VIT_B16_OPENAI, mona_variant=mona_variant, lora_alpha=lora_alpha)
+    vision = dataclasses.replace(VIT_B16_OPENAI, mona_variant=mona_variant,
+                                 lora_alpha=lora_alpha, lora_dropout=lora_dropout)
     return CLIPConfig(family, vision, "clip", TextConfig(), compute_dtype=compute_dtype)
 
 
@@ -94,10 +97,15 @@ def encode_image(params, cfg: CLIPConfig, images, *, rng=None, extract_layers=()
                      dtype=cfg.dtype, rng=rng, extract_layers=extract_layers)
 
 
-def encode_text(params, cfg: CLIPConfig, token_ids, *, attention_mask=None):
+def encode_text(params, cfg: CLIPConfig, token_ids, *, attention_mask=None,
+                rng=None):
+    """rng: pass only in train mode (enables text-tower LoRA dropout under
+    --tune_text_encoder; the CLIP text transformer never carries LoRA —
+    reference injects vision-only, lora.py:202-248)."""
     if cfg.text_kind == "bert":
         return bert_apply(params["text"], cfg.text, token_ids,
-                          attention_mask=attention_mask, dtype=cfg.dtype)
+                          attention_mask=attention_mask, dtype=cfg.dtype,
+                          rng=rng)
     return text_apply(params["text"], cfg.text, token_ids, dtype=cfg.dtype)
 
 

@@ -59,6 +59,10 @@ class ViTConfig:
     # adapter config (static; params decide presence per block)
     mona_variant: str = "hybrid"
     lora_alpha: float = 32.0
+    # dropout on the LoRA-branch input in train mode (reference
+    # LinearLoRA.forward, lora.py:73-90; plumbed from --lora_dropout).
+    # Train/eval gating = rng presence, like MONA dropout.
+    lora_dropout: float = 0.0
     # rematerialize each block in backward. On bandwidth-starved parts this
     # is a large WIN: recompute (cheap, MXU underutilized) replaces HBM
     # round-trips of per-block activations (scarce at ~89 GB/s on this chip).
@@ -175,6 +179,9 @@ def block_apply(p, x, cfg: ViTConfig, *, dtype=None, rng=None,
                     out = mona_apply(p["mona"], out, (cfg.grid, cfg.grid),
                                      variant=cfg.mona_variant, rng=mona_rng)
                 return out
+    lora_rng = None
+    if (rng is not None and cfg.lora_dropout > 0.0 and "lora" in p["attn"]):
+        rng, lora_rng = jax.random.split(rng)
     if cfg.mlp_impl == "auto":
         # frozen tower: hand mha the raw x + ln1 (+ the residual, when no
         # LayerScale sits between branch and skip) so the TPU path can fuse
@@ -184,16 +191,19 @@ def block_apply(p, x, cfg: ViTConfig, *, dtype=None, rng=None,
         if "ls1" in p:  # DINOv2 LayerScale (dino/layers/layer_scale.py)
             a = mha(p["attn"], x, num_heads=cfg.heads, dtype=dtype,
                     lora_alpha=cfg.lora_alpha, key_padding_bias=key_bias,
+                    lora_dropout=cfg.lora_dropout, lora_rng=lora_rng,
                     ln=p["ln1"], ln_eps=cfg.ln_eps)
             x = x + a * p["ls1"].astype(a.dtype)
         else:
             x = mha(p["attn"], x, num_heads=cfg.heads, dtype=dtype,
                     lora_alpha=cfg.lora_alpha, key_padding_bias=key_bias,
+                    lora_dropout=cfg.lora_dropout, lora_rng=lora_rng,
                     ln=p["ln1"], ln_eps=cfg.ln_eps, residual=x)
     else:
         # full fine-tuning differentiates LN weights — keep LN in XLA
         a = mha(p["attn"], layernorm(p["ln1"], x, eps=cfg.ln_eps),
                 num_heads=cfg.heads, dtype=dtype, lora_alpha=cfg.lora_alpha,
+                lora_dropout=cfg.lora_dropout, lora_rng=lora_rng,
                 key_padding_bias=key_bias)
         if "ls1" in p:
             a = a * p["ls1"].astype(a.dtype)

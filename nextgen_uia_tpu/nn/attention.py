@@ -45,18 +45,33 @@ def attention_init(rng, dim: int, *, bias: bool = True):
     }
 
 
-def _proj_with_lora(p, lora, name, x, *, dtype, lora_scale):
+def _lora_drop(x, name, drop_keys, rate: float):
+    """Inverted dropout on the LoRA-branch INPUT only (train mode), matching
+    the reference LinearLoRA.forward: the frozen projection sees the raw x,
+    only the low-rank delta sees the dropped x (lora.py:73-90). Each of
+    q/k/v/o is a separate LinearLoRA there, so each draws its own mask."""
+    if drop_keys is None or name not in drop_keys:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(drop_keys[name], keep, x.shape)
+    return jnp.where(mask, x, jnp.zeros_like(x)) / keep
+
+
+def _proj_with_lora(p, lora, name, x, *, dtype, lora_scale,
+                    drop_keys=None, drop_rate=0.0):
     y = linear(p[name], x, dtype=dtype)
     if lora is not None and name in lora:
         la = lora[name]
+        xl = _lora_drop(x, name, drop_keys, drop_rate)
         # x @ A^T… in our [in, out] layout: x @ a [in, r] @ b [r, out]
-        delta = (x.astype(y.dtype) @ la["a"].astype(y.dtype)) @ la["b"].astype(y.dtype)
+        delta = (xl.astype(y.dtype) @ la["a"].astype(y.dtype)) @ la["b"].astype(y.dtype)
         y = y + delta * lora_scale
     return y
 
 
 def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
         key_padding_bias=None, dtype=None, lora_alpha: float | None = None,
+        lora_dropout: float = 0.0, lora_rng=None,
         impl: str = "auto", ln=None, ln_eps: float = 1e-5, residual=None):
     """Self-attention over [B, N, D].
 
@@ -82,9 +97,16 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
     head_dim = d // num_heads
     lora = p.get("lora")
     lora_scale = 1.0
+    drop_keys = None
     if lora is not None:
         r = next(iter(lora.values()))["a"].shape[1]
         lora_scale = (lora_alpha if lora_alpha is not None else 1.0) / math.sqrt(r)
+        if lora_rng is not None and lora_dropout > 0.0:
+            # train mode (callers pass lora_rng only then): one independent
+            # dropout mask per projection, reference LinearLoRA semantics
+            ks = jax.random.split(lora_rng, 4)
+            drop_keys = {t: ks[i] for i, t in enumerate(("q", "k", "v", "o"))
+                         if t in lora}
 
     # the flash kernel holds per-head-group [Np, Np] f32 scores in VMEM — its
     # design regime is N <= 512 (ops/flash_attention.py docstring). DINOv2 at
@@ -168,7 +190,8 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
                 y = y + p[name]["b"].astype(y.dtype).reshape(num_heads, head_dim)[None, :, None, :]
             if lora is not None and name in lora:
                 la = lora[name]
-                delta = (xx @ la["a"].astype(y.dtype)) @ la["b"].astype(y.dtype)
+                xl = _lora_drop(xx, name, drop_keys, lora_dropout)
+                delta = (xl.astype(y.dtype) @ la["a"].astype(y.dtype)) @ la["b"].astype(y.dtype)
                 y = y + (delta * lora_scale).reshape(b, n, num_heads, head_dim).transpose(0, 2, 1, 3)
             return y
 
@@ -191,7 +214,8 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
                     yi = y[i]
                     if name in lora:
                         la = lora[name]
-                        delta = (xx.astype(yi.dtype) @ la["a"].astype(yi.dtype)
+                        xl = _lora_drop(xx, name, drop_keys, lora_dropout)
+                        delta = (xl.astype(yi.dtype) @ la["a"].astype(yi.dtype)
                                  ) @ la["b"].astype(yi.dtype)
                         yi = yi + (delta * lora_scale).reshape(
                             b, n, num_heads, head_dim).transpose(0, 2, 1, 3)
@@ -224,14 +248,18 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
             out_flat = out_flat + p["o"]["b"].astype(out_flat.dtype)
         if lora is not None and "o" in lora:
             xo = jnp.einsum("bhne->bnhe", out).reshape(b, n, d)
+            xo = _lora_drop(xo, "o", drop_keys, lora_dropout)
             la = lora["o"]
             out_flat = out_flat + ((xo @ la["a"].astype(xo.dtype))
                                    @ la["b"].astype(xo.dtype)) * lora_scale
         return out_flat if residual is None else residual + out_flat
 
-    q = _proj_with_lora(p, lora, "q", x, dtype=dtype, lora_scale=lora_scale)
-    k = _proj_with_lora(p, lora, "k", x, dtype=dtype, lora_scale=lora_scale)
-    v = _proj_with_lora(p, lora, "v", x, dtype=dtype, lora_scale=lora_scale)
+    q = _proj_with_lora(p, lora, "q", x, dtype=dtype, lora_scale=lora_scale,
+                        drop_keys=drop_keys, drop_rate=lora_dropout)
+    k = _proj_with_lora(p, lora, "k", x, dtype=dtype, lora_scale=lora_scale,
+                        drop_keys=drop_keys, drop_rate=lora_dropout)
+    v = _proj_with_lora(p, lora, "v", x, dtype=dtype, lora_scale=lora_scale,
+                        drop_keys=drop_keys, drop_rate=lora_dropout)
 
     q = q.reshape(b, n, num_heads, head_dim)
     k = k.reshape(b, n, num_heads, head_dim)
@@ -250,7 +278,8 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
     out = out.reshape(b, n, d)
-    out = _proj_with_lora(p, lora, "o", out, dtype=dtype, lora_scale=lora_scale)
+    out = _proj_with_lora(p, lora, "o", out, dtype=dtype, lora_scale=lora_scale,
+                          drop_keys=drop_keys, drop_rate=lora_dropout)
     return out if residual is None else residual + out
 
 

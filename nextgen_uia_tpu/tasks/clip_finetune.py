@@ -217,11 +217,17 @@ def finetune_main(family: str, argv=None):
     def loss_fn(trainable_p, frozen_p, batch, rng):
         p = merge(trainable_p, frozen_p)
         x = batch["image"].astype(jnp.float32) / 255.0
+        txt_rng = None
+        if args.tune_text_encoder:
+            # trainable text tower: give it its own train-mode rng stream
+            # (enables LoRA-branch dropout on injected BERT layers)
+            rng, txt_rng = jax.random.split(rng)
         img_feats, _ = clip_mod.encode_image(p, cfg, x, rng=rng)
         if use_text_cache:
             txt_feats = batch["txt_feat"]
         else:
-            txt_feats = clip_mod.encode_text(p, step_cfg, batch["tokens"])
+            txt_feats = clip_mod.encode_text(p, step_cfg, batch["tokens"],
+                                             rng=txt_rng)
         if n_dp > 1:
             # global-batch negatives: gather features over the data axis so
             # InfoNCE sees the full batch — exact reference semantics

@@ -125,15 +125,61 @@ def resolve_mona_variant(variant: str) -> str:
     return variant
 
 
+def sniff_adapter_kind(path: str):
+    """Detect which adapter family a component checkpoint holds by its flat
+    key paths ('.../attn/lora/...' vs '.../mona/...'). Mirrors the reference's
+    adapter_type sniffing on --mona_weights (clip/classification.py:86-110),
+    which auto-routes a LoRA checkpoint to LoRA injection. Returns
+    ('lora'|'mona'|None, lora_meta) where lora_meta carries (r, num_layers)
+    recovered from the checkpoint when it is a LoRA one."""
+    keys = ckpt.peek_keys(path)
+    has_lora = [k for k in keys if "/lora/" in k]
+    has_mona = any("/mona/" in k for k in keys)
+    if has_lora and not has_mona:
+        import re
+
+        with np.load(path) as data:
+            r = int(data[has_lora[0].rsplit("/", 1)[0] + "/a"].shape[1])
+        blocks = {int(m.group(1)) for k in has_lora
+                  if (m := re.search(r"/(?:blocks|layers)/(\d+)/", k))}
+        return "lora", {"r": r, "num_layers": (max(blocks) + 1) if blocks else None}
+    if has_mona and not has_lora:
+        return "mona", None
+    return None, None
+
+
 def build_clip_model(args, family: str, *, adapter: str | None = None, rng=None):
     """Assemble (cfg, params): config + random-or-converted weights +
-    declarative adapter injection + optional adapter weight load."""
+    declarative adapter injection + optional adapter weight load.
+
+    Adapter-type autodetection (reference clip/classification.py:86-110): a
+    checkpoint passed via the *wrong* flag (--mona_weights pointing at a LoRA
+    checkpoint, or vice versa) is detected by its key paths and routed to the
+    matching injection instead of failing with NoMatch."""
     rng = rng if rng is not None else jax.random.key(args.seed)
+    lora_r, lora_layers = args.lora_r, args.lora_layers
+    adapter_ckpt = args.mona_weights or args.lora_weights
+    if adapter_ckpt and os.path.exists(adapter_ckpt):
+        detected, meta = sniff_adapter_kind(adapter_ckpt)
+        flag = "mona" if args.mona_weights else "lora"
+        if detected is not None and detected != flag:
+            logging.info(
+                f"--{flag}_weights {adapter_ckpt} holds {detected.upper()} "
+                f"parameters — auto-routing to {detected} injection "
+                "(reference adapter_type sniffing, clip/classification.py:86-110)")
+            if detected == "lora":
+                args.lora_weights, args.mona_weights = adapter_ckpt, None
+                lora_r, lora_layers = meta["r"], meta["num_layers"]
+            else:
+                args.mona_weights, args.lora_weights = adapter_ckpt, None
     variant = resolve_mona_variant(args.mona_variant) if (
         adapter == "mona" or args.mona_weights) else "hybrid"
+    use_lora = adapter == "lora" or args.lora_weights
     cfg = clip_mod.clip_config(family, compute_dtype=args.compute_dtype,
                                mona_variant=variant,
-                               lora_alpha=float(args.lora_alpha))
+                               lora_alpha=float(args.lora_alpha),
+                               lora_dropout=(float(args.lora_dropout)
+                                             if use_lora else 0.0))
     if getattr(args, "debug_tiny", False):
         import dataclasses as _dc
 
@@ -157,11 +203,10 @@ def build_clip_model(args, family: str, *, adapter: str | None = None, rng=None)
             "checkpoint converter (nextgen_uia_tpu.convert) for pretrained towers.")
 
     use_mona = adapter == "mona" or args.mona_weights
-    use_lora = adapter == "lora" or args.lora_weights
     if use_lora:
         params["visual"], n = inject_lora(k2, params["visual"], dim=cfg.vision.width,
-                                          r=args.lora_r, num_layers=args.lora_layers)
-        logging.info(f"Injected LoRA into {n} blocks (r={args.lora_r}, alpha={args.lora_alpha})")
+                                          r=lora_r, num_layers=lora_layers)
+        logging.info(f"Injected LoRA into {n} blocks (r={lora_r}, alpha={args.lora_alpha})")
         if getattr(args, "tune_text_encoder", False):
             # reference tune_text_encoder path: LoRA on the BERT encoder's
             # q/k/v/dense too (lora.py:317-367; BERT-style towers only)
@@ -169,7 +214,7 @@ def build_clip_model(args, family: str, *, adapter: str | None = None, rng=None)
                 k3 = jax.random.fold_in(k2, 17)
                 params["text"], nt = inject_lora_bert(
                     k3, params["text"], dim=cfg.text.width,
-                    r=args.lora_r, num_layers=args.lora_layers)
+                    r=lora_r, num_layers=lora_layers)
                 logging.info(f"Injected LoRA into {nt} text-encoder layers")
             else:
                 logging.warning("--tune_text_encoder with LoRA applies only to "

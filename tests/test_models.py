@@ -327,3 +327,109 @@ def test_text_clip_full_ft_never_passes_residual_to_mha(monkeypatch):
     calls.clear()
     text_apply(p, dataclasses.replace(cfg, mlp_impl="auto"), ids)
     assert calls and all(calls), "frozen text tower should use the residual fusion"
+
+
+def test_lora_dropout_train_eval_semantics():
+    """--lora_dropout semantics (reference LinearLoRA.forward, lora.py:73-90):
+    train mode (rng given) drops the LoRA-branch input stochastically; eval
+    mode (rng=None) and p=0 are deterministic and identical to the undropped
+    forward. The frozen projection always sees the raw input."""
+    cfg = dataclasses.replace(TINY, lora_dropout=0.5)
+    p = vit_init(jax.random.key(0), TINY)
+    p, _ = inject_lora(jax.random.key(1), p, dim=64, r=4)
+    # nonzero B so the delta (and hence dropout on its input) is visible
+    p = jax.tree_util.tree_map(
+        lambda x: x, p)
+    for blk in p["blocks"]:
+        lora = {t: dict(pair, b=jnp.full_like(pair["b"], 0.05))
+                for t, pair in blk["attn"]["lora"].items()}
+        blk["attn"]["lora"] = lora
+    x = jax.random.normal(jax.random.key(2), (2, 32, 32, 3))
+
+    base, _ = vit_apply(p, TINY, x)                       # no-dropout config
+    ev, _ = vit_apply(p, cfg, x)                          # eval: rng=None
+    np.testing.assert_allclose(np.asarray(base), np.asarray(ev), atol=1e-6)
+
+    # p=0 with rng: unchanged (golden stability)
+    p0 = dataclasses.replace(TINY, lora_dropout=0.0)
+    tr0, _ = vit_apply(p, p0, x, rng=jax.random.key(3))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(tr0), atol=1e-6)
+
+    # train mode: stochastic — differs from eval, reproducible per rng
+    tr_a, _ = vit_apply(p, cfg, x, rng=jax.random.key(3))
+    tr_a2, _ = vit_apply(p, cfg, x, rng=jax.random.key(3))
+    tr_b, _ = vit_apply(p, cfg, x, rng=jax.random.key(4))
+    assert not np.allclose(np.asarray(base), np.asarray(tr_a), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tr_a), np.asarray(tr_a2), atol=1e-6)
+    assert not np.allclose(np.asarray(tr_a), np.asarray(tr_b), atol=1e-5)
+
+
+def test_lora_dropout_bert_text_tower():
+    """Same gating for the BERT tower under --tune_text_encoder."""
+    from nextgen_uia_tpu.adapters.lora import inject_lora_bert
+    from nextgen_uia_tpu.models.bert import BertConfig, bert_apply, bert_init
+
+    cfg = BertConfig(vocab_size=100, width=64, depth=2, heads=4,
+                     intermediate=128, embed_dim=32, context_length=16,
+                     lora_dropout=0.5)
+    p = bert_init(jax.random.key(0), cfg)
+    p, _ = inject_lora_bert(jax.random.key(2), p, dim=64, r=4)
+    for layer in p["layers"]:
+        layer["attn"]["lora"] = {
+            t: dict(pair, b=jnp.full_like(pair["b"], 0.05))
+            for t, pair in layer["attn"]["lora"].items()}
+    ids = jax.random.randint(jax.random.key(1), (2, 16), 1, 100)
+
+    ev = bert_apply(p, cfg, ids)
+    ev2 = bert_apply(p, cfg, ids)
+    np.testing.assert_allclose(np.asarray(ev), np.asarray(ev2), atol=1e-6)
+    tr = bert_apply(p, cfg, ids, rng=jax.random.key(5))
+    assert not np.allclose(np.asarray(ev), np.asarray(tr), atol=1e-5)
+
+
+def test_adapter_kind_sniffing_and_autorouting(tmp_path):
+    """A LoRA checkpoint passed via --mona_weights must auto-route to LoRA
+    injection (reference adapter_type sniffing, clip/classification.py:86-110),
+    recovering r and the layer count from the checkpoint itself."""
+    from nextgen_uia_tpu.core import checkpoint as ckpt
+    from nextgen_uia_tpu.tasks.common import base_parser, build_clip_model, sniff_adapter_kind
+
+    # build + save a tiny LoRA visual checkpoint (r=4, first 2 blocks)
+    args = base_parser("sniff").parse_args(
+        ["--debug_tiny", "--img_size", "32", "--lora_r", "4",
+         "--lora_layers", "2", "--compute_dtype", "float32"])
+    _, params = build_clip_model(args, "biomedclip", adapter="lora")
+    lora_path = str(tmp_path / "lora_ckpt.npz")
+    assert ckpt.save(lora_path, {"visual": params["visual"]},
+                     keyword_filter=["lora"]) > 0
+    kind, meta = sniff_adapter_kind(lora_path)
+    assert kind == "lora" and meta == {"r": 4, "num_layers": 2}
+
+    # cross-load: --mona_weights pointing at the LoRA ckpt
+    args2 = base_parser("sniff2").parse_args(
+        ["--debug_tiny", "--img_size", "32", "--compute_dtype", "float32",
+         "--mona_weights", lora_path])
+    _, params2 = build_clip_model(args2, "biomedclip")
+    assert "lora" in params2["visual"]["blocks"][0]["attn"]
+    assert "lora" not in params2["visual"]["blocks"][2]["attn"]
+    assert "mona" not in params2["visual"]["blocks"][0]
+    # loaded, not re-initialised: tensors match the saved ones
+    saved = ckpt.load_flat(lora_path)
+    got = params2["visual"]["blocks"][0]["attn"]["lora"]["q"]["a"]
+    np.testing.assert_array_equal(
+        saved["visual/blocks/0/attn/lora/q/a"], np.asarray(got))
+
+    # MONA ckpt via --lora_weights routes the other way
+    args3 = base_parser("sniff3").parse_args(
+        ["--debug_tiny", "--img_size", "32", "--compute_dtype", "float32"])
+    _, params3 = build_clip_model(args3, "biomedclip", adapter="mona")
+    mona_path = str(tmp_path / "mona_ckpt.npz")
+    assert ckpt.save(mona_path, {"visual": params3["visual"]},
+                     keyword_filter=["mona"]) > 0
+    assert sniff_adapter_kind(mona_path)[0] == "mona"
+    args4 = base_parser("sniff4").parse_args(
+        ["--debug_tiny", "--img_size", "32", "--compute_dtype", "float32",
+         "--lora_weights", mona_path])
+    _, params4 = build_clip_model(args4, "biomedclip")
+    assert "mona" in params4["visual"]["blocks"][0]
+    assert "lora" not in params4["visual"]["blocks"][0]["attn"]
