@@ -1,11 +1,17 @@
 """Int8 MXU feasibility probe for a quantized serving path.
 
-Question: does int8 x int8 -> int32 matmul actually run ~2x bf16 on this
-chip (v5e peak ~394 TOPS int8 vs ~197 TFLOP/s bf16), and does it lower
-through (a) plain XLA and (b) Pallas/Mosaic on this toolchain?  The eval
-forward is at a compute/pipeline floor (PERF.md megakernel section), so the
-only remaining serving lever is lower-precision FLOPs — worth building ONLY
-if the raw matmul speedup materializes.
+VERDICT: REJECTED on this chip — int8 matmul measured 0.99x bf16 (no int8
+MXU speedup on this part/toolchain), so a quantized serving path was NOT
+built; full numbers + reasoning in PERF.md "Int8 quantized serving". This
+script is the settled probe, kept ONLY to re-run on other TPU generations
+(v4/v6e expose int8 differently) before revisiting.
+
+Question it answers: does int8 x int8 -> int32 matmul actually run ~2x bf16
+on this chip (v5e peak ~394 TOPS int8 vs ~197 TFLOP/s bf16), and does it
+lower through (a) plain XLA and (b) Pallas/Mosaic on this toolchain?  The
+eval forward is at a compute/pipeline floor (PERF.md megakernel section), so
+the only remaining serving lever is lower-precision FLOPs — worth building
+ONLY if the raw matmul speedup materializes.
 
 Method follows the repo bench discipline (CLAUDE.md): chained fori_loop
 matmuls (data dependency defeats CSE; no per-step dispatch), host scalar

@@ -428,6 +428,63 @@ def convert_modified_resnet(sd, layers=None, prefix="visual."):
 # CLI
 # ---------------------------------------------------------------------------
 
+def convert_dinov2_cls_head(sd, prefix=""):
+    """DINOv2 ClassificationHead (dino/dinov2.py:33-100): a single Linear
+    over concatenated cls/avg-patch features."""
+    sd = _numpy_sd(sd)
+    return _flat({"linear": _lin(sd, f"{prefix}linear")})
+
+
+def convert_dinov2_linear_decoder(sd, prefix=""):
+    """DINOv2 LinearDecoder (dino/dinov2.py:103-127): one 1x1 Conv2d."""
+    sd = _numpy_sd(sd)
+    return _flat({"conv": _conv(sd, f"{prefix}decoder")})
+
+
+def convert_dinov2_unet_decoder(sd, prefix=""):
+    """DINOv2 UNetDecoder (dino/dinov2.py:130-200): 4 up blocks of
+    (ConvTranspose2d upconv, conv3x3+BN, skip conv3x3+BN). Reference up1..4
+    map to our up0..3. Returns (flat params, flat bn state)."""
+    sd = _numpy_sd(sd)
+    p, s = {}, {}
+    for i in range(4):
+        b = f"{prefix}up{i + 1}."
+        cbp, cbs = _bn(sd, b + "conv.1")
+        sbp, sbs = _bn(sd, b + "skip_conv.1")
+        p[f"up{i}"] = {"upconv": _convT(sd, b + "upconv"),
+                       "conv": _conv(sd, b + "conv.0"), "conv_bn": cbp,
+                       "skip_conv": _conv(sd, b + "skip_conv.0"),
+                       "skip_bn": sbp}
+        s[f"up{i}"] = {"conv_bn": cbs, "skip_bn": sbs}
+    return _flat(p), _flat(s)
+
+
+def convert_unet(sd, prefix=""):
+    """Baseline UNet (third_party/unet.py:119-143) -> (flat params, flat bn
+    state). ConvBlock Sequential indices: 0 conv1, 1 bn1, 4 conv2, 5 bn2."""
+    sd = _numpy_sd(sd)
+
+    def convblock(base):
+        b1p, b1s = _bn(sd, base + ".1")
+        b2p, b2s = _bn(sd, base + ".5")
+        return ({"conv1": _conv(sd, base + ".0"), "bn1": b1p,
+                 "conv2": _conv(sd, base + ".4"), "bn2": b2p},
+                {"bn1": b1s, "bn2": b2s})
+
+    p, s = {}, {}
+    p["enc0"], s["enc0"] = convblock(f"{prefix}encoder.in_conv.conv_conv")
+    for i in range(1, 5):
+        p[f"enc{i}"], s[f"enc{i}"] = convblock(
+            f"{prefix}encoder.down{i}.maxpool_conv.1.conv_conv")
+    for i in range(4):
+        # UpBlock bilinear=True default: conv1x1 + parameter-free Upsample
+        p[f"upconv{i}"] = _conv(sd, f"{prefix}decoder.up{i + 1}.conv1x1")
+        p[f"dec{i}"], s[f"dec{i}"] = convblock(
+            f"{prefix}decoder.up{i + 1}.conv.conv_conv")
+    p["out"] = _conv(sd, f"{prefix}decoder.out_conv")
+    return _flat(p), _flat(s)
+
+
 CONVERTERS = {
     "biomedclip": convert_biomedclip,
     "openai_clip": convert_openai_clip,
@@ -435,6 +492,18 @@ CONVERTERS = {
     "unimedclip": lambda sd: convert_openai_clip(sd, strip_module=True, visual_only=True),
     "clipseg_decoder": convert_clipseg_decoder,
     "dinov2": convert_dinov2,
+    "pyramid_head_seg": lambda sd: convert_pyramid_head(sd, task="seg"),
+    "pyramid_head_cls": lambda sd: convert_pyramid_head(sd, task="cls"),
+    "pyramid_head_cls_hidden": lambda sd: convert_pyramid_head(
+        sd, task="cls", cls_hidden=True),
+    "dinov2_cls_head": convert_dinov2_cls_head,
+    "dinov2_linear_decoder": convert_dinov2_linear_decoder,
+}
+
+# converters that return (params, state) pairs — state rides under __state__/
+STATEFUL_CONVERTERS = {
+    "unet": convert_unet,
+    "dinov2_unet_decoder": convert_dinov2_unet_decoder,
 }
 
 
@@ -442,9 +511,9 @@ def main(argv=None):
     import argparse
 
     ap = argparse.ArgumentParser("nextgen_uia_tpu.convert")
-    ap.add_argument("kind", choices=list(CONVERTERS) + [
-        "modified_resnet", "resnet18", "resnet34",
-        "resnet50", "resnet101", "resnet152"])
+    ap.add_argument("kind", choices=list(CONVERTERS) + list(STATEFUL_CONVERTERS)
+                    + ["modified_resnet", "resnet18", "resnet34",
+                       "resnet50", "resnet101", "resnet152"])
     ap.add_argument("src", help=".pt/.pth/.bin state dict or torch.jit archive")
     ap.add_argument("dst", help="output .npz")
     args = ap.parse_args(argv)
@@ -469,6 +538,9 @@ def main(argv=None):
     elif args.kind == "modified_resnet":
         prefix = "visual." if any(k.startswith("visual.") for k in sd) else ""
         flat, state = convert_modified_resnet(sd, prefix=prefix)
+        flat.update({f"__state__/{k}": v for k, v in state.items()})
+    elif args.kind in STATEFUL_CONVERTERS:
+        flat, state = STATEFUL_CONVERTERS[args.kind](sd)
         flat.update({f"__state__/{k}": v for k, v in state.items()})
     else:
         flat = CONVERTERS[args.kind](sd)

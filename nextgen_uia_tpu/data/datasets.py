@@ -37,16 +37,22 @@ def read_labels(root: str, dataset: str):
         return {str(row[0]): int(row[1]) for row in csv.reader(f) if row}
 
 
-_USE_NATIVE = os.environ.get("NEXTGEN_UIA_NATIVE_LOADER", "0") == "1"
+def _use_native() -> bool:
+    # default ON: the input-pipeline bench (PERF.md "Epoch-level input
+    # pipeline") measured the C++ loader at 409-629 img/s/core vs PIL's
+    # 247-586 and e2e 37.4 vs 35.2 img/s; NEXTGEN_UIA_NATIVE_LOADER=0 opts
+    # out (e.g. for byte-exact PIL decode comparisons)
+    return os.environ.get("NEXTGEN_UIA_NATIVE_LOADER", "1") == "1"
 
 
 def load_image(path: str, img_size: int) -> np.ndarray:
     """Grayscale load + PIL-default (bicubic) resize to [img_size, img_size],
-    uint8 (classification.py:176-181). With NEXTGEN_UIA_NATIVE_LOADER=1 the
-    C++ loader (native/loader.cc) decodes instead — PIL-equivalent within
-    +-2 gray levels (float vs PIL's fixed-point filter arithmetic), much
-    faster on multi-core hosts."""
-    if _USE_NATIVE:
+    uint8 (classification.py:176-181). By default the C++ loader
+    (native/loader.cc) decodes when built — PIL-equivalent within +-3 gray
+    levels (float vs PIL's fixed-point filter arithmetic; parity test
+    tests/test_native_loader.py), much faster on multi-core hosts;
+    NEXTGEN_UIA_NATIVE_LOADER=0 forces PIL."""
+    if _use_native():
         from . import native_loader
 
         if native_loader.available():
@@ -102,14 +108,16 @@ class USDataset:
 
 
 def make_datasets(root: str, dataset: str, img_size: int, task: str = "cls",
-                  zero_shot: bool = False):
+                  zero_shot: bool = False, cache: bool = True):
     """Standard 3-way split; zero-shot mode evaluates on train+val+test
-    (zero_shot.py:46-51)."""
+    (zero_shot.py:46-51). ``cache=False`` (--no-cache_images) disables the
+    decoded-image RAM cache for corpora too large to hold resident."""
     splits = {s: read_split(root, dataset, s) for s in ("train", "val", "test")}
     if zero_shot:
         union = splits["train"] + splits["val"] + splits["test"]
-        return {"test": USDataset(root, dataset, union, img_size, task)}
-    return {s: USDataset(root, dataset, names, img_size, task)
+        return {"test": USDataset(root, dataset, union, img_size, task,
+                                  cache=cache)}
+    return {s: USDataset(root, dataset, names, img_size, task, cache=cache)
             for s, names in splits.items()}
 
 

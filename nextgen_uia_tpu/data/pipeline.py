@@ -105,7 +105,8 @@ def prefetch_to_device(iterator, *, size: int = 2, sharding=None):
         finally:
             put_or_stop(sentinel)
 
-    t = threading.Thread(target=producer, daemon=True)
+    t = threading.Thread(target=producer, daemon=True,
+                         name="nextgen-uia-prefetch")
     t.start()
     try:
         while True:

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from ..nn.layers import (batchnorm, batchnorm_init, conv2d, conv_init,
                          conv_transpose2d, layernorm, layernorm_init, linear,
-                         linear_init, resize_bilinear)
+                         linear_init, resize_bilinear,
+                         resize_bilinear_align_corners)
 from .vit import ViTConfig, _block_init, block_apply
 
 DINOV2_B14 = ViTConfig(image_size=518, patch_size=14, width=768, depth=12,
@@ -229,8 +230,8 @@ def unet_decoder_apply(params, state, layer_feats, *, image_size: int,
         sk = conv2d(up["skip_conv"], skips[i])
         sk, s_skip = batchnorm(up["skip_bn"], st["skip_bn"], sk, train=train)
         sk = jax.nn.relu(sk)
-        sk = jax.image.resize(sk, (sk.shape[0], x.shape[1], x.shape[2], sk.shape[3]),
-                              method="bilinear")
+        # torch align_corners=True semantics (dinov2.py:149)
+        sk = resize_bilinear_align_corners(sk, (x.shape[1], x.shape[2]))
         x = jnp.concatenate([x, sk], axis=-1)
         x = conv2d(up["conv"], x)
         x, s_conv = batchnorm(up["conv_bn"], st["conv_bn"], x, train=train)

@@ -2,8 +2,11 @@
 
 Re-implements /root/reference/src/third_party/unet.py: 5-level encoder
 (double conv3x3 + BN + LeakyReLU + per-level dropout [.05,.1,.2,.3,.5],
-maxpool downsampling), decoder with stride-2 transposed convs and skip
-concatenation, final conv3x3 to class logits. init_channels=16.
+maxpool downsampling), decoder up blocks of conv1x1 + bilinear
+align_corners=True x2 upsample + skip concat (UpBlock defaults to
+bilinear=True — the Decoder never passes the params' dead "bilinear": False,
+unet.py:91-97), final conv3x3 to class logits. init_channels=16.
+Output-parity golden: tests/test_head_goldens.py::test_unet_baseline_golden.
 
 State threading: batchnorm running stats live in a separate pytree mirroring
 the param tree; every apply returns (logits, new_state).
@@ -15,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.layers import (batchnorm, batchnorm_init, conv2d, conv_init,
-                         conv_transpose2d, dropout)
+                         dropout, resize_bilinear_align_corners)
 
 DROPOUTS = (0.05, 0.1, 0.2, 0.3, 0.5)
 
@@ -51,8 +54,9 @@ def unet_init(rng, in_channels: int, num_classes: int, init_channels: int = 16):
     for i in range(4):
         params[f"enc{i+1}"], state[f"enc{i+1}"] = _convblock_init(ks[1 + i], ch[i], ch[i + 1])
     for i in range(4):
-        # up i: convT ch[4-i] -> ch[3-i], then convblock on concat 2*ch[3-i]
-        params[f"upconv{i}"] = conv_init(ks[5 + 2 * i], 2, 2, ch[4 - i], ch[3 - i])
+        # up i: conv1x1 ch[4-i] -> ch[3-i] + bilinear x2 (UpBlock bilinear=True
+        # default, unet.py:38-49), then convblock on concat 2*ch[3-i]
+        params[f"upconv{i}"] = conv_init(ks[5 + 2 * i], 1, 1, ch[4 - i], ch[3 - i])
         params[f"dec{i}"], state[f"dec{i}"] = _convblock_init(ks[6 + 2 * i], ch[3 - i] * 2, ch[3 - i])
     params["out"] = conv_init(ks[13], 3, 3, ch[0], num_classes)
     return params, state
@@ -79,7 +83,8 @@ def unet_apply(params, state, x, *, train: bool = False, rng=None):
 
     h = feats[4]
     for i in range(4):
-        h = conv_transpose2d(params[f"upconv{i}"], h, stride=2)
+        h = conv2d(params[f"upconv{i}"], h)
+        h = resize_bilinear_align_corners(h, (h.shape[1] * 2, h.shape[2] * 2))
         h = jnp.concatenate([feats[3 - i], h], axis=-1)
         sub = None
         if rng is not None:

@@ -232,3 +232,40 @@ def resize_bilinear(x, out_hw, *, antialias: bool = False):
     """Bilinear resize of NHWC batch to (H', W'); align_corners=False semantics."""
     b, _, _, c = x.shape
     return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="bilinear", antialias=antialias)
+
+
+def _bilinear_ac_taps(n_in: int, n_out: int):
+    """Static gather indices + weights for torch bilinear align_corners=True
+    (src = dst * (n_in-1)/(n_out-1); endpoints map to endpoints)."""
+    import numpy as np
+
+    dst = np.arange(n_out, dtype=np.float64)
+    src = dst * 0.0 if (n_out == 1 or n_in == 1) else dst * (n_in - 1) / (n_out - 1)
+    i0 = np.clip(np.floor(src).astype(np.int64), 0, n_in - 1)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    t = src - i0
+    idx = np.stack([i0, i1], axis=1)
+    w = np.stack([1.0 - t, t], axis=1)
+    return jnp.asarray(idx), jnp.asarray(w, jnp.float32)
+
+
+def resize_bilinear_align_corners(x, out_hw):
+    """torch ``nn.Upsample(mode='bilinear', align_corners=True)`` on NHWC, as
+    a separable static-taps resize (compile-time shapes, no dynamic gathers).
+    Users: the DINOv2 UNetDecoder skip path (dino/dinov2.py:149) and the
+    baseline UNet decoder upsample (third_party/unet.py:42-49) —
+    jax.image.resize bilinear has half-pixel (align_corners=False) semantics
+    and would drift from reference-trained decoders."""
+    h_in, w_in = x.shape[1], x.shape[2]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    dt = x.dtype
+    x = x.astype(jnp.float32)
+    if h_in != h_out:
+        idx, w = _bilinear_ac_taps(h_in, h_out)
+        x = jnp.einsum("ot,botwc->bowc", w, x[:, idx])
+    if w_in != w_out:
+        idx, w = _bilinear_ac_taps(w_in, w_out)
+        x = jnp.einsum("ot,bhotc->bhoc", w, x[:, :, idx])
+    return x.astype(dt)

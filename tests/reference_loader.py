@@ -47,3 +47,105 @@ def load_with_ref_src(module_name: str):
     finally:
         sys.path.remove(str(REF))
         sys.modules.update(stash)
+
+
+def ensure_torchvision_stub():
+    """torchvision is not installed in this image, but the reference's
+    dino/dinov2.py imports ``torchvision.transforms`` at module top (used
+    only by UNetDecoder's resize_image path, dinov2.py:197-199) and
+    datasets/classification.py uses ``T.RandomResizedCrop.get_params`` +
+    ``F.{resized_crop,hflip,vflip}`` on PIL images. Install a faithful stub:
+    tensor ``Resize`` delegates to ``F.interpolate(..., antialias=True)``
+    (torchvision's own implementation since 0.17); the PIL functionals are
+    the documented torchvision algorithms (get_params: 10 attempts of
+    area-scaled boxes, fall back to the largest valid center crop)."""
+    import math
+    import types
+
+    if "torchvision" in sys.modules:
+        return
+    try:
+        if importlib.util.find_spec("torchvision") is not None:
+            return
+    except (ImportError, ValueError):
+        pass
+    import torch
+    import torch.nn.functional as F
+
+    class _InterpolationMode:
+        NEAREST = "nearest"
+        BILINEAR = "bilinear"
+        BICUBIC = "bicubic"
+
+    class _Resize:
+        def __init__(self, size, interpolation="bilinear", antialias=True):
+            self.size = size
+            self.mode = getattr(interpolation, "value", interpolation)
+            self.antialias = antialias
+
+        def __call__(self, x):
+            return F.interpolate(x, size=self.size, mode=self.mode,
+                                 antialias=self.antialias)
+
+    class _RandomResizedCrop:
+        @staticmethod
+        def get_params(img, scale, ratio):
+            # torchvision.transforms.RandomResizedCrop.get_params, PIL input
+            w, h = img.size
+            area = h * w
+            log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+            for _ in range(10):
+                target_area = area * torch.empty(1).uniform_(*scale).item()
+                aspect = math.exp(torch.empty(1).uniform_(*log_ratio).item())
+                tw = int(round(math.sqrt(target_area * aspect)))
+                th = int(round(math.sqrt(target_area / aspect)))
+                if 0 < tw <= w and 0 < th <= h:
+                    i = torch.randint(0, h - th + 1, (1,)).item()
+                    j = torch.randint(0, w - tw + 1, (1,)).item()
+                    return i, j, th, tw
+            in_ratio = float(w) / float(h)  # fallback: center crop
+            if in_ratio < min(ratio):
+                tw, th = w, int(round(w / min(ratio)))
+            elif in_ratio > max(ratio):
+                th, tw = h, int(round(h * max(ratio)))
+            else:
+                tw, th = w, h
+            return (h - th) // 2, (w - tw) // 2, th, tw
+
+    def _hflip(img):
+        import PIL.Image as Image
+
+        return img.transpose(Image.FLIP_LEFT_RIGHT)
+
+    def _vflip(img):
+        import PIL.Image as Image
+
+        return img.transpose(Image.FLIP_TOP_BOTTOM)
+
+    def _resized_crop(img, i, j, h, w, size, interpolation="bilinear"):
+        import PIL.Image as Image
+
+        assert not isinstance(img, torch.Tensor), "stub handles PIL only"
+        size = (size, size) if isinstance(size, int) else tuple(size)
+        return img.crop((j, i, j + w, i + h)).resize(
+            (size[1], size[0]), Image.BILINEAR)
+
+    tv = types.ModuleType("torchvision")
+    trs_pkg = types.ModuleType("torchvision.transforms")
+    trs = types.ModuleType("torchvision.transforms.transforms")
+    fun = types.ModuleType("torchvision.transforms.functional")
+    for m in (trs_pkg, trs):
+        m.Resize = _Resize
+        m.InterpolationMode = _InterpolationMode
+        m.RandomResizedCrop = _RandomResizedCrop
+    fun.InterpolationMode = _InterpolationMode
+    fun.hflip = _hflip
+    fun.vflip = _vflip
+    fun.resized_crop = _resized_crop
+    trs_pkg.transforms = trs
+    trs_pkg.functional = fun
+    tv.transforms = trs_pkg
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = trs_pkg
+    sys.modules["torchvision.transforms.transforms"] = trs
+    sys.modules["torchvision.transforms.functional"] = fun
