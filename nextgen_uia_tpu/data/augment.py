@@ -5,13 +5,18 @@ TPU-native replacement for the reference's per-sample PIL pipeline
 augmented in one jitted function on device, overlapping with the previous
 step's compute instead of burning host CPU in DataLoader workers.
 
-Op inventory matches the reference's strong (intensity-only) and weak
-(geometric, mask-paired) lists. Parity is *statistical*, not bitwise
-(SURVEY.md §7 "hard parts" #4): the reference samples k ~ U{0..n} ops with
-replacement and applies them sequentially; we apply each op independently
-with probability 0.5, which preserves the per-op expected application count
-(E[k]/n = 0.5 in both lists). PIL's uint8 quantisation is emulated where it
-matters (posterize, solarize, equalize).
+Op inventory AND composition law match the reference's strong
+(intensity-only) and weak (geometric, mask-paired) lists: k ~ U{0..n} ops
+are sampled uniformly WITH replacement from the n-op list (identity
+included) and applied sequentially, magnitudes resampled per application
+(classification.py:128-151) — an op can hit the same image twice and
+op-order interactions are reproduced. On device this is a ``lax.scan`` over
+n op slots (inactive slots forced to the identity op) with a ``lax.switch``
+per slot — static shapes, one traced slot body. Parity with PIL is
+*statistical*, not bitwise (SURVEY.md §7 "hard parts" #4): each op is a
+float re-derivation of its PIL counterpart (per-op parity bounds in
+tests/test_retrieval_and_augment.py) and images round-trip through the
+uint8 grid between ops exactly as PIL does.
 
 All images are float32 in [0, 1], shape [B, H, W, 1] (grayscale); masks are
 float32 {0,1} [B, H, W, 1].
@@ -101,31 +106,72 @@ def _solarize(img, threshold):
     return jnp.where(u8 >= threshold, 255.0 - u8, u8) / 255.0
 
 
+N_STRONG = 9  # list order = reference get_strong_aug_list (classification.py:108-120)
+
+
+def _strong_slot(img, oid, key):
+    """One strong-op slot: apply op ``oid`` (reference list index) with a
+    freshly sampled magnitude. Magnitude laws follow classification.py:27-68:
+    blur sigma ~ U[0.75, 1.25]; enhance factors v = max - (max-min)*U[0,1)
+    (contrast/brightness/sharpness, [0.75, 1.25]); posterize bits
+    8 - max(1, ceil(4*U)) in {4..7}; solarize threshold
+    256 - max(1, ceil(255*U)) in {1..255}."""
+
+    def blur(x):
+        return _gaussian_blur(x, jax.random.uniform(key, minval=0.75, maxval=1.25))
+
+    def contrast(x):
+        return _contrast(x, 1.25 - 0.5 * jax.random.uniform(key))
+
+    def brightness(x):
+        return _brightness(x, 1.25 - 0.5 * jax.random.uniform(key))
+
+    def sharpness(x):
+        return _sharpness(x, 1.25 - 0.5 * jax.random.uniform(key))
+
+    def posterize(x):
+        bits = 8 - jnp.maximum(
+            1, jnp.ceil(4.0 * jax.random.uniform(key)).astype(jnp.int32))
+        return _posterize(x, bits)
+
+    def solarize(x):
+        thr = 256 - jnp.maximum(
+            1, jnp.ceil(255.0 * jax.random.uniform(key)).astype(jnp.int32))
+        return _solarize(x, thr)
+
+    return jax.lax.switch(oid, [lambda x: x, _autocontrast, _equalize, blur,
+                                contrast, brightness, sharpness, posterize,
+                                solarize], img)
+
+
+def _quantize_u8(img):
+    # PIL images are uint8 between ops; round-trip through the 1/255 grid
+    return jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0) / 255.0
+
+
+def _op_sequence(rng, n, identity_id):
+    """k ~ U{0..n}, then n op ids uniform over {0..n-1} with replacement;
+    slots >= k are forced to the identity op (random.choices semantics,
+    classification.py:131-135)."""
+    k_n, k_ids = jax.random.split(rng)
+    k = jax.random.randint(k_n, (), 0, n + 1)
+    ids = jax.random.randint(k_ids, (n,), 0, n)
+    return jnp.where(jnp.arange(n) < k, ids, identity_id)
+
+
 def _strong_single(rng, img):
-    """Apply the strong-op battery to one [H, W, 1] image; each op gated with
-    p=0.5 and op-specific magnitudes sampled per reference scales
-    (classification.py:108-120 — blur/contrast/brightness/sharpness all
-    [0.75, 1.25], posterize [4, 8], solarize [1, 256])."""
-    ks = jax.random.split(rng, 16)
+    """Reference StrongAugmentation on one [H, W, 1] image: k ~ U{0..9} ops
+    chosen with replacement from the 9-op list, applied sequentially with
+    per-application magnitudes (classification.py:125-135)."""
+    k_seq, k_slots = jax.random.split(rng)
+    ids = _op_sequence(k_seq, N_STRONG, identity_id=0)
+    keys = jax.random.split(k_slots, N_STRONG)
 
-    def gated(i, fn, x):
-        return jnp.where(jax.random.bernoulli(ks[i]), fn(x), x)
+    def body(im, xs):
+        oid, kk = xs
+        return _quantize_u8(_strong_slot(im, oid, kk)), None
 
-    img = gated(0, _autocontrast, img)
-    img = gated(1, _equalize, img)
-    sigma = jax.random.uniform(ks[8], minval=0.75, maxval=1.25)
-    img = gated(2, lambda x: _gaussian_blur(x, sigma), img)
-    v_con = 1.25 - 0.5 * jax.random.uniform(ks[9])
-    img = gated(3, lambda x: _contrast(x, v_con), img)
-    v_bri = 1.25 - 0.5 * jax.random.uniform(ks[10])
-    img = gated(4, lambda x: _brightness(x, v_bri), img)
-    v_sha = 1.25 - 0.5 * jax.random.uniform(ks[11])
-    img = gated(5, lambda x: _sharpness(x, v_sha), img)
-    bits = 8 - jnp.ceil(4.0 * jax.random.uniform(ks[12])).astype(jnp.int32)
-    bits = jnp.clip(bits, 1, 8)
-    img = gated(6, lambda x: _posterize(x, bits), img)
-    thr = 256 - jnp.maximum(1, jnp.ceil(255.0 * jax.random.uniform(ks[13]))).astype(jnp.int32)
-    img = gated(7, lambda x: _solarize(x, thr), img)
+    img, _ = jax.lax.scan(body, img, (ids, keys))
     return img
 
 
@@ -134,17 +180,27 @@ def _strong_single(rng, img):
 # ---------------------------------------------------------------------------
 
 
+def _crop_params(rng, h):
+    """torchvision ``RandomResizedCrop.get_params(scale=(0.8, 1.2),
+    ratio=(1, 1))`` on a square h x h image: up to 10 attempts sample
+    side = round(h * sqrt(s)), s ~ U(0.8, 1.2), accepting side <= h (s > ~1
+    rejects and resamples — the effective accepted law is s ~ U(0.8, 1]);
+    after 10 failures fall back to the full image. Offsets are uniform
+    integers in [0, h - side]."""
+    k_s, k_i, k_j = jax.random.split(rng, 3)
+    s = jax.random.uniform(k_s, (10,), minval=0.8, maxval=1.2)
+    sides = jnp.round(jnp.sqrt(s) * h)
+    ok = sides <= h
+    side = jnp.where(jnp.any(ok), sides[jnp.argmax(ok)], h)
+    i = jnp.floor(jax.random.uniform(k_i) * (h - side + 1))
+    j = jnp.floor(jax.random.uniform(k_j) * (h - side + 1))
+    return side, i, j
+
+
 def _resized_crop(img, rng, out_size):
     """torchvision RandomResizedCrop(scale=(0.8,1.2), ratio=(1,1)) semantics:
-    area-scaled square crop, random position, resized back; scale > 1 falls
-    back to the full (center) image."""
-    h = img.shape[0]
-    k1, k2, k3 = jax.random.split(rng, 3)
-    s = jax.random.uniform(k1, minval=0.8, maxval=1.2)
-    side = jnp.round(jnp.sqrt(s) * h)
-    side = jnp.clip(side, 1, h)
-    i = jnp.floor(jax.random.uniform(k2) * (h - side + 1))
-    j = jnp.floor(jax.random.uniform(k3) * (h - side + 1))
+    area-scaled square crop, random position, bilinear-resized back."""
+    side, i, j = _crop_params(rng, img.shape[0])
     scale = out_size / side
     return jax.image.scale_and_translate(
         img, (out_size, out_size, img.shape[-1]),
@@ -153,22 +209,37 @@ def _resized_crop(img, rng, out_size):
         method="bilinear")
 
 
+N_WEAK = 4  # [crop, hflip, vflip, identity] — reference WeakAugmentation order
+
+
 def _weak_single(rng, img, mask, out_size):
-    ks = jax.random.split(rng, 4)
+    """Reference WeakAugmentation on one (image, mask) pair: k ~ U{0..4} ops
+    with replacement from [RandomResizedCrop, hflip, vflip, identity],
+    applied sequentially (classification.py:138-152; flips are unconditional
+    when chosen — segmentation.py pairs the mask through every op). Requires
+    img already at out_size (the reference resizes before augmenting)."""
+    assert img.shape[0] == out_size and img.shape[1] == out_size, (
+        "weak augs expect pre-resized images (reference __getitem__ order)")
+    k_seq, k_slots = jax.random.split(rng)
+    ids = _op_sequence(k_seq, N_WEAK, identity_id=3)
+    keys = jax.random.split(k_slots, N_WEAK)
 
-    def crop_pair(im, mk):
-        return (_resized_crop(im, ks[3], out_size), _resized_crop(mk, ks[3], out_size))
+    def crop_pair(im, mk, kk):
+        return (_resized_crop(im, kk, out_size), _resized_crop(mk, kk, out_size))
 
-    do_crop = jax.random.bernoulli(ks[0])
-    img2, mask2 = crop_pair(img, mask)
-    img = jnp.where(do_crop, img2, img)
-    mask = jnp.where(do_crop, mask2, mask)
-    do_h = jax.random.bernoulli(ks[1])
-    img = jnp.where(do_h, img[:, ::-1], img)
-    mask = jnp.where(do_h, mask[:, ::-1], mask)
-    do_v = jax.random.bernoulli(ks[2])
-    img = jnp.where(do_v, img[::-1], img)
-    mask = jnp.where(do_v, mask[::-1], mask)
+    def body(carry, xs):
+        im, mk = carry
+        oid, kk = xs
+        im, mk = jax.lax.switch(
+            oid,
+            [crop_pair,
+             lambda a, b, _: (a[:, ::-1], b[:, ::-1]),
+             lambda a, b, _: (a[::-1], b[::-1]),
+             lambda a, b, _: (a, b)],
+            im, mk, kk)
+        return (im, mk), None
+
+    (img, mask), _ = jax.lax.scan(body, (img, mask), (ids, keys))
     mask = jnp.round(jnp.clip(mask, 0.0, 1.0))
     return img, mask
 
