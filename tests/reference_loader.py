@@ -6,6 +6,7 @@ bypassing package __init__. Tests using this must skip when /root/reference is
 absent.
 """
 
+import importlib.machinery
 import importlib.util
 import pathlib
 import sys
@@ -134,6 +135,16 @@ def ensure_torchvision_stub():
     trs_pkg = types.ModuleType("torchvision.transforms")
     trs = types.ModuleType("torchvision.transforms.transforms")
     fun = types.ModuleType("torchvision.transforms.functional")
+    # a bare ModuleType has __spec__=None, which makes importlib.util.
+    # find_spec("torchvision") raise ValueError in ANY later caller —
+    # transformers' import-time _is_package_available probe dies on it when
+    # a test imports transformers after this stub is installed (pytest
+    # imports all test modules at collection, so module-level stubbing
+    # races test bodies). A real ModuleSpec keeps find_spec harmless;
+    # transformers still concludes torchvision is absent (no dist metadata,
+    # no __version__).
+    for _m in (tv, trs_pkg, trs, fun):
+        _m.__spec__ = importlib.machinery.ModuleSpec(_m.__name__, loader=None)
     for m in (trs_pkg, trs):
         m.Resize = _Resize
         m.InterpolationMode = _InterpolationMode

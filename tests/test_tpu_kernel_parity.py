@@ -99,6 +99,17 @@ out = main(["--dataset", "BUSI", "--data_root", str(root), "--exp",
             "--compute_dtype", "float32"])
 """
 
+SUP_BODY = """
+root, name, _ = make_synth_root("{work}/data", dataset="BUSI", n=12, img_size=64)
+from nextgen_uia_tpu.tasks.clip.classification import main
+out = main(["--dataset", "BUSI", "--data_root", str(root), "--exp",
+            "kp_{tag}_{platform}", "--img_size", "64", "--batch_size", "4",
+            "--epochs", "2", "--val_interval", "2", "--patience", "3",
+            "--seed", "7", "--debug_tiny", "--num_workers", "2",
+            "--compute_dtype", "float32",
+            "--strong_augs", "--weak_augs"])
+"""
+
 CASES = {
     "mona_uncached_text": (FT_BODY, dict(
         method="mona", extra=["--mona_variant", "hybrid",
@@ -108,6 +119,11 @@ CASES = {
     "lora": (FT_BODY, dict(method="lora", extra=[])),
     "full": (FT_BODY, dict(method="full", extra=[])),
     "zero_shot": (ZS_BODY, dict()),
+    # drives the full on-device augmentation chain (equalize/posterize/
+    # rotate/... compare-reduce forms) through a training run on BOTH
+    # backends with the same threefry stream — the durable CPU-vs-TPU aug
+    # parity check (reference aug law: src/datasets/classification.py:123-151)
+    "supervised_augs": (SUP_BODY, dict()),
 }
 
 
@@ -159,4 +175,4 @@ def test_write_artifact():
     art = {"cases": RESULTS, "note":
            "same seed, float32, tiny towers; tpu = real Mosaic kernels, "
            "cpu = interpreter/XLA paths (tests/test_tpu_kernel_parity.py)"}
-    (REPO / "KERNELPARITY_r03.json").write_text(json.dumps(art, indent=1))
+    (REPO / "KERNELPARITY_r04.json").write_text(json.dumps(art, indent=1))
