@@ -234,9 +234,12 @@ def resize_bilinear(x, out_hw, *, antialias: bool = False):
     return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="bilinear", antialias=antialias)
 
 
-def _bilinear_ac_taps(n_in: int, n_out: int):
-    """Static gather indices + weights for torch bilinear align_corners=True
-    (src = dst * (n_in-1)/(n_out-1); endpoints map to endpoints)."""
+def _bilinear_ac_matrix(n_in: int, n_out: int):
+    """Dense [n_out, n_in] tap matrix (two nonzeros per row) for torch
+    bilinear align_corners=True (src = dst * (n_in-1)/(n_out-1); endpoints
+    map to endpoints). A dense matmul, not a gather: per-element integer
+    indexing serializes on this TPU (PERF.md round 4), while a [n_out, n_in]
+    matmul rides the MXU and adding the zero taps is exact in f32."""
     import numpy as np
 
     dst = np.arange(n_out, dtype=np.float64)
@@ -244,14 +247,16 @@ def _bilinear_ac_taps(n_in: int, n_out: int):
     i0 = np.clip(np.floor(src).astype(np.int64), 0, n_in - 1)
     i1 = np.minimum(i0 + 1, n_in - 1)
     t = src - i0
-    idx = np.stack([i0, i1], axis=1)
-    w = np.stack([1.0 - t, t], axis=1)
-    return jnp.asarray(idx), jnp.asarray(w, jnp.float32)
+    m = np.zeros((n_out, n_in), np.float32)
+    rows = np.arange(n_out)
+    np.add.at(m, (rows, i0), (1.0 - t).astype(np.float32))
+    np.add.at(m, (rows, i1), t.astype(np.float32))
+    return jnp.asarray(m)
 
 
 def resize_bilinear_align_corners(x, out_hw):
     """torch ``nn.Upsample(mode='bilinear', align_corners=True)`` on NHWC, as
-    a separable static-taps resize (compile-time shapes, no dynamic gathers).
+    a separable static-tap-matrix resize (compile-time shapes, gather-free).
     Users: the DINOv2 UNetDecoder skip path (dino/dinov2.py:149) and the
     baseline UNet decoder upsample (third_party/unet.py:42-49) —
     jax.image.resize bilinear has half-pixel (align_corners=False) semantics
@@ -263,9 +268,9 @@ def resize_bilinear_align_corners(x, out_hw):
     dt = x.dtype
     x = x.astype(jnp.float32)
     if h_in != h_out:
-        idx, w = _bilinear_ac_taps(h_in, h_out)
-        x = jnp.einsum("ot,botwc->bowc", w, x[:, idx])
+        m = _bilinear_ac_matrix(h_in, h_out)
+        x = jnp.einsum("oi,biwc->bowc", m, x, precision="highest")
     if w_in != w_out:
-        idx, w = _bilinear_ac_taps(w_in, w_out)
-        x = jnp.einsum("ot,bhotc->bhoc", w, x[:, :, idx])
+        m = _bilinear_ac_matrix(w_in, w_out)
+        x = jnp.einsum("oi,bhic->bhoc", m, x, precision="highest")
     return x.astype(dt)

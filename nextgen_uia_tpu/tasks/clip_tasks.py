@@ -120,7 +120,7 @@ def zero_shot_main(family: str, argv=None):
         logging.warning(f"Text prompts very similar: {proto_sim:.4f}")
 
     datasets = D.make_datasets(args.data_root, args.dataset, args.img_size,
-                               task="cls", zero_shot=True, cache=getattr(args, "cache_images", True))
+                               task="cls", zero_shot=True, cache=args.cache_images)
 
     from ..core.mesh import make_mesh
 
@@ -251,7 +251,7 @@ def supervised_main(family: str, task: str, argv=None, *, fewshot: bool = False)
                                trainable_pred=by_keywords("head", "mona", "lora")))
 
     data_task = "seg" if task == "seg" else "cls"
-    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task=data_task, cache=getattr(args, "cache_images", True))
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task=data_task, cache=args.cache_images)
     if fewshot:
         labels = D.read_labels(args.data_root, args.dataset) if data_task == "cls" else None
         sampled = D.sample_few_shot(

@@ -174,9 +174,22 @@ def build_clip_model(args, family: str, *, adapter: str | None = None, rng=None)
                 "(reference adapter_type sniffing, clip/classification.py:86-110)")
             if detected == "lora":
                 args.lora_weights, args.mona_weights = adapter_ckpt, None
-                lora_r, lora_layers = meta["r"], meta["num_layers"]
             else:
                 args.mona_weights, args.lora_weights = adapter_ckpt, None
+        if detected == "lora":
+            # Recover (r, num_layers) from the checkpoint on BOTH routes —
+            # not just the wrong-flag one — so `--lora_weights ckpt.npz` with
+            # a non-default rank loads instead of failing on a shape mismatch
+            # against the flag-built slots.
+            ckpt_r, ckpt_layers = meta["r"], meta["num_layers"]
+            if ckpt_r != lora_r:
+                logging.info(f"LoRA checkpoint rank r={ckpt_r} overrides "
+                             f"--lora_r {lora_r}")
+                lora_r = ckpt_r
+            if ckpt_layers is not None and ckpt_layers != lora_layers:
+                logging.info(f"LoRA checkpoint covers {ckpt_layers} layers; "
+                             f"overriding --lora_layers {lora_layers}")
+                lora_layers = ckpt_layers
     variant = resolve_mona_variant(args.mona_variant) if (
         adapter == "mona" or args.mona_weights) else "hybrid"
     use_lora = adapter == "lora" or args.lora_weights

@@ -78,7 +78,7 @@ def clipseg_segmentation_main(argv=None):
     rng = seed_everything(args.seed)
     run_path = setup_run(args, "test" if args.test else "train")
     bundle = build_clipseg_bundle(args, rng)
-    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="seg", cache=getattr(args, "cache_images", True))
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="seg", cache=args.cache_images)
     return run_supervised(args, bundle, datasets, run_path, "clipseg_segmentation")
 
 
@@ -185,7 +185,7 @@ def dino_classification_main(argv=None, *, fewshot: bool = False):
     rng = seed_everything(args.seed)
     run_path = setup_run(args, "test" if args.test else "train")
     bundle = build_dino_cls_bundle(args, rng)
-    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="cls", cache=getattr(args, "cache_images", True))
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="cls", cache=args.cache_images)
     if fewshot:
         _apply_fewshot(args, datasets, "cls")
     return run_supervised(args, bundle, datasets, run_path, "dino_classification")
@@ -226,7 +226,7 @@ def dino_segmentation_main(argv=None, *, fewshot: bool = False):
     rng = seed_everything(args.seed)
     run_path = setup_run(args, "test" if args.test else "train")
     bundle = build_dino_seg_bundle(args, rng)
-    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="seg", cache=getattr(args, "cache_images", True))
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="seg", cache=args.cache_images)
     if fewshot:
         _apply_fewshot(args, datasets, "seg")
     return run_supervised(args, bundle, datasets, run_path, "dino_segmentation")
@@ -298,7 +298,7 @@ def baselines_classification_main(argv=None, *, fewshot: bool = False):
     rng = seed_everything(args.seed)
     run_path = setup_run(args, "test" if args.test else "train")
     bundle = build_baseline_cls_bundle(args, rng)
-    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="cls", cache=getattr(args, "cache_images", True))
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="cls", cache=args.cache_images)
     if fewshot:
         _apply_fewshot(args, datasets, "cls")
     return run_supervised(args, bundle, datasets, run_path, "baselines_classification")
@@ -367,7 +367,7 @@ def baselines_segmentation_main(argv=None, *, fewshot: bool = False):
     rng = seed_everything(args.seed)
     run_path = setup_run(args, "test" if args.test else "train")
     bundle = build_baseline_seg_bundle(args, rng)
-    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="seg", cache=getattr(args, "cache_images", True))
+    datasets = D.make_datasets(args.data_root, args.dataset, args.img_size, task="seg", cache=args.cache_images)
     if fewshot:
         _apply_fewshot(args, datasets, "seg")
     return run_supervised(args, bundle, datasets, run_path, "baselines_segmentation")

@@ -23,7 +23,8 @@ import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
-import torch
+
+torch = pytest.importorskip("torch")
 
 import reference_loader as RL
 from test_convert import _unflatten_into

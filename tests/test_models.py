@@ -338,8 +338,6 @@ def test_lora_dropout_train_eval_semantics():
     p = vit_init(jax.random.key(0), TINY)
     p, _ = inject_lora(jax.random.key(1), p, dim=64, r=4)
     # nonzero B so the delta (and hence dropout on its input) is visible
-    p = jax.tree_util.tree_map(
-        lambda x: x, p)
     for blk in p["blocks"]:
         lora = {t: dict(pair, b=jnp.full_like(pair["b"], 0.05))
                 for t, pair in blk["attn"]["lora"].items()}
@@ -418,6 +416,20 @@ def test_adapter_kind_sniffing_and_autorouting(tmp_path):
     got = params2["visual"]["blocks"][0]["attn"]["lora"]["q"]["a"]
     np.testing.assert_array_equal(
         saved["visual/blocks/0/attn/lora/q/a"], np.asarray(got))
+
+    # CORRECT-flag route must recover meta too: --lora_weights on the r=4
+    # ckpt with the default --lora_r 16 would otherwise crash on a shape
+    # mismatch against the flag-built slots (code-review r4 finding)
+    args2b = base_parser("sniff2b").parse_args(
+        ["--debug_tiny", "--img_size", "32", "--compute_dtype", "float32",
+         "--lora_weights", lora_path])
+    assert args2b.lora_r == 16  # default differs from the checkpoint's r=4
+    _, params2b = build_clip_model(args2b, "biomedclip")
+    assert params2b["visual"]["blocks"][0]["attn"]["lora"]["q"]["a"].shape[1] == 4
+    assert "lora" not in params2b["visual"]["blocks"][2]["attn"]
+    np.testing.assert_array_equal(
+        saved["visual/blocks/0/attn/lora/q/a"],
+        np.asarray(params2b["visual"]["blocks"][0]["attn"]["lora"]["q"]["a"]))
 
     # MONA ckpt via --lora_weights routes the other way
     args3 = base_parser("sniff3").parse_args(
