@@ -49,6 +49,9 @@ INPUT_MODE = os.environ.get("NEXTGEN_UIA_BENCH_INPUT") == "1"
 # eval/serving mode: steady-state zero-shot classification throughput
 # (the shipped make_zero_shot_logits_fn path, fwd-only) — PERF.md round 3
 EVAL_MODE = os.environ.get("NEXTGEN_UIA_BENCH_EVAL") == "1"
+# supervised mode: the 200-epoch seg train step (tower taps + MONA +
+# pyramid head + DiceCE + on-device augs) — PERF.md round 4
+SUPERVISED_MODE = os.environ.get("NEXTGEN_UIA_BENCH_SUPERVISED") == "1"
 
 
 def main():
@@ -332,6 +335,107 @@ def eval_bench():
     }))
 
 
+def supervised_bench():
+    """Supervised segmentation train-step throughput — the reference's bulk
+    compute (its 200-epoch supervised configs, segmentation.py:59-68: batch
+    32, DiceCE, strong+weak augs on). Measures the step exactly as the
+    shipped driver composes it (tasks/clip_tasks.py::_make_forward +
+    run_supervised): uint8 batch -> on-device strong+weak augmentation at
+    the exact reference composition law (data/augment.py) -> bf16 frozen
+    ViT-B/16 with hybrid MONA, pyramid taps {3,6,9} -> trainable PyramidHead
+    (reduce 512, seg) -> DiceCE -> AdamW over {head, mona}.
+
+    NEXTGEN_UIA_BENCH_AUGS=0 disables the in-step augmentation (the A/B that
+    prices the on-device aug pipeline; the reference runs augs in host
+    DataLoader workers, overlapped but CPU-bound).
+
+    vs_baseline: A100_EST_IMG_S (600). Same estimate trail as main(): the
+    per-image workload swaps the finetune step's PubMedBERT-256 fwd
+    (~9.4 GF) for the trainable pyramid head fwd+bwd (3 reduce-512
+    transformer blocks + decoder, ~9 GF) — the totals land in the same
+    ~60-65 GF/img band, and the reference's eager supervised step has the
+    same structure (frozen tower fwd + dx-bwd, adapter+head grads).
+    """
+    from nextgen_uia_tpu.core import train as T
+    from nextgen_uia_tpu.core.partition import (by_keywords, cast_frozen_bf16,
+                                                merge, partition)
+    from nextgen_uia_tpu.data.augment import augment_batch
+    from nextgen_uia_tpu.losses import dice_ce_loss
+    from nextgen_uia_tpu.models import clip as clip_mod
+    from nextgen_uia_tpu.models.heads import (PyramidHeadConfig,
+                                              pyramid_head_apply,
+                                              pyramid_head_init)
+    from nextgen_uia_tpu.tasks.clip_tasks import extract_layers_for
+    from __graft_entry__ import _flagship
+
+    batch = int(os.environ.get("NEXTGEN_UIA_BENCH_SUP_BATCH", "32"))
+    augs = os.environ.get("NEXTGEN_UIA_BENCH_AUGS", "1") == "1"
+    cfg, backbone = _flagship(depth=DEPTH, image_size=IMG, compute_dtype=DTYPE)
+    hcfg = PyramidHeadConfig(feature_dim=cfg.vision.width, reduce_dim=512,
+                             num_classes=2, img_size=IMG, task="seg",
+                             cls_hidden=False)
+    head = pyramid_head_init(jax.random.key(7), hcfg)
+    trainable, frozen = partition({"backbone": backbone, "head": head},
+                                  by_keywords("head", "mona", "lora"))
+    frozen = jax.device_put(cast_frozen_bf16(frozen))
+
+    tcfg = T.TrainConfig(lr=1e-4, accum_steps=1, total_updates=1000)
+    opt, _ = T.make_optimizer(tcfg)
+    state = T.init_state(trainable, opt)
+    taps = extract_layers_for(cfg.vision.depth)
+
+    def loss_fn(tp, fp, mb, rng):
+        p = merge(tp, fp)
+        x = mb["image"].astype(jnp.float32)[..., None] / 255.0
+        m = mb["mask"].astype(jnp.float32)[..., None]
+        if augs:
+            rng, arng = jax.random.split(rng)
+            x, m = augment_batch(arng, x, m, strong=True, weak=True,
+                                 out_size=IMG)
+        x = jnp.repeat(x, 3, axis=-1)
+        rng, drng, hrng = jax.random.split(rng, 3)
+        _, acts = clip_mod.encode_image(p["backbone"], cfg, x, rng=drng,
+                                        extract_layers=taps)
+        logits = pyramid_head_apply(p["head"], hcfg, acts, rng=hrng)
+        m = jnp.moveaxis(m, -1, 1).astype(jnp.int32)
+        return dice_ce_loss(logits, m)
+
+    step = T.make_train_step(loss_fn, opt, tcfg, donate=True)
+    mb = {
+        "image": jax.random.randint(jax.random.key(1), (1, batch, IMG, IMG),
+                                    0, 255, jnp.uint8),
+        "mask": (jax.random.uniform(jax.random.key(2), (1, batch, IMG, IMG))
+                 > 0.7).astype(jnp.uint8),
+    }
+
+    rng = jax.random.key(0)
+    for _ in range(WARMUP):
+        rng, k = jax.random.split(rng)
+        state, metrics = step(state, frozen, mb, k)
+    float(metrics["loss"])  # relay-safe barrier (see main())
+
+    dts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            rng, k = jax.random.split(rng)
+            state, metrics = step(state, frozen, mb, k)
+        float(metrics["loss"])
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
+
+    n_chips = jax.device_count()
+    img_per_s_per_chip = batch * STEPS / dt / n_chips
+    print(json.dumps({
+        "metric": "BUSI supervised seg train images/sec/chip",
+        "value": round(img_per_s_per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s_per_chip / A100_EST_IMG_S, 3),
+        "batch": batch,
+        "augs": augs,
+    }))
+
+
 def _require_devices(timeout_s: float):
     """Fail fast if the backend cannot be reached.
 
@@ -371,5 +475,7 @@ if __name__ == "__main__":
         input_pipeline_bench()
     elif EVAL_MODE:
         eval_bench()
+    elif SUPERVISED_MODE:
+        supervised_bench()
     else:
         main()

@@ -23,6 +23,15 @@ import jax.numpy as jnp
 from .layers import linear, linear_init
 
 
+def _flash_n_max() -> int:
+    import os
+
+    # auto-route ceiling for the VMEM-resident flash kernel; lower to 512
+    # to force the pre-round-4 einsum routing for long sequences (A/B knob
+    # used by bench/smoke_dino.py)
+    return int(os.environ.get("NEXTGEN_UIA_FLASH_NMAX", "2048"))
+
+
 def _fused_qkv_enabled() -> bool:
     import os
 
@@ -108,18 +117,24 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
             drop_keys = {t: ks[i] for i, t in enumerate(("q", "k", "v", "o"))
                          if t in lora}
 
-    # the flash kernel holds per-head-group [Np, Np] f32 scores in VMEM — its
-    # design regime is N <= 512 (ops/flash_attention.py docstring). DINOv2 at
-    # 518 px runs 1370 tokens: route that through the einsum path, where XLA
-    # streams the score tensor through HBM like any long-sequence attention.
+    # the flash kernel holds per-head-group [Np, Np] f32 scores in VMEM.
+    # Two regimes (ops/flash_attention.py docstring): N <= 512 runs G=4
+    # heads/cell under the default scoped-vmem ceiling; 512 < N <= _FLASH_N_MAX
+    # (DINOv2 at 518 px = 1370 tokens) runs one head/cell with a raised
+    # ceiling — the einsum path at that length streams ~5.8 GB/layer of
+    # softmax traffic through HBM at batch 32 (PERF.md round 4). Beyond the
+    # cap (no model here runs there) XLA's einsum path takes over.
     use_flash = (impl == "flash" or
-                 (impl == "auto" and mask is None and n <= 512
+                 (impl == "auto" and mask is None and n <= _flash_n_max()
                   and jax.default_backend() == "tpu"))
 
     qkv_fused = None
     if ln is not None:
-        if (use_flash and mask is None and lora is None and "qkv" not in p
-                and _fused_qkv_enabled()):
+        # the LN+QKV / attn+o fusions are designed and measured for the
+        # short regime (N ~ 200-256); long sequences (DINOv2 1370) keep LN
+        # + einsum projections around the flash kernel
+        if (use_flash and n <= 512 and mask is None and lora is None
+                and "qkv" not in p and _fused_qkv_enabled()):
             from ..ops.fused_ln_qkv import fused_ln_qkv
 
             xx = x if dtype is None else x.astype(dtype)
@@ -223,9 +238,11 @@ def mha(p, x, *, num_heads: int, mask=None, causal: bool = False,
                 q, k, v = outs
         else:
             q, k, v = proj_bhnd("q"), proj_bhnd("k"), proj_bhnd("v")
-        if residual is not None and lora is None and _fused_attn_o_enabled():
+        if (residual is not None and lora is None and n <= 512
+                and _fused_attn_o_enabled()):
             # post-norm towers (BERT) reach here with residual but no ln:
             # the attention+o-proj+residual kernel applies all the same
+            # (short-regime kernel — see the qkv_fused gate above)
             from ..ops.fused_attn_o import fused_attn_o_residual
 
             rr = residual if dtype is None else residual.astype(dtype)

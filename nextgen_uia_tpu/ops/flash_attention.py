@@ -6,6 +6,14 @@ per layer pass. At N<=512 the score matrix for a group of heads fits in VMEM,
 so no online-softmax tiling is needed: grid over (batch, head-group), one
 shot per cell, scores never leave VMEM.
 
+Long-N regime (512 < N <= ~2048, i.e. DINOv2 at 518 px = 1370 tokens): same
+one-shot design with ONE head per grid cell and a raised scoped-vmem ceiling
+(the 16 MB limit is a compiler default; one 1376^2 f32 score buffer is
+7.6 MB, and v5e VMEM is ~128 MB). Still no online softmax: the whole row
+block fits, so the extra max/rescale passes of a tiled flash would only add
+VPU work. Beyond ~2048 tokens a KV-tiled kernel would be needed — no model
+in this framework runs there (nn/attention.py routes those to einsum).
+
 Layout: inputs [B, N, H, D] are transposed/padded once to [B, H, Np, D]; the
 kernel processes G=4 heads per grid cell via batched dot_general (VMEM for
 the backward pass: ~4 score-sized f32 buffers * G = ~3.5 MB at Np=256).
@@ -101,14 +109,34 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, dq_ref, dk_ref, dv_ref,
         dbias_ref[0] += jnp.where(row == 0, db[None, :], 0.0).astype(dbias_ref.dtype)
 
 
-def _group_size(h: int) -> int:
+def _group_size(h: int, np_: int) -> int:
     import os
 
     pref = int(os.environ.get("NEXTGEN_UIA_FLASH_G", "4"))
+    if np_ > 512:
+        # long-sequence regime (DINOv2 @ 518 px = 1370 tokens): ONE f32
+        # score buffer is already ~7.6 MB — one head per grid cell, with a
+        # raised scoped-vmem ceiling (_compiler_params). Still VMEM-resident:
+        # the einsum path streams ~5.8 GB of softmax traffic per layer at
+        # batch 32 through an ~89 GB/s HBM (PERF.md round 4).
+        pref = 1
     for g in range(min(pref, h), 0, -1):
         if h % g == 0:
             return g
     return 1
+
+
+def _compiler_params(g: int, np_: int, *, bwd: bool) -> dict:
+    """Raise the scoped-vmem ceiling for the long-N regime. The 16 MB limit
+    is a compiler default, not the hardware's (~128 MB on v5e); the forward
+    holds ~2 score-sized f32 buffers per cell, the backward ~3 plus operand
+    copies."""
+    score_mb = g * np_ * np_ * 4 / (1024 * 1024)
+    if np_ <= 512:
+        return {}
+    limit = int((4 if bwd else 2.5) * score_mb) + 8
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=limit * 1024 * 1024)}
 
 
 def _build_specs(b, h, g, np_, d, with_bias):
@@ -131,7 +159,7 @@ def _flash(q, k, v, bias, causal, n, bias_grad):
 
 def _flash_fwd_impl(q, k, v, bias, causal, n):
     b, h, np_, d = q.shape
-    g = _group_size(h)
+    g = _group_size(h, np_)
     scale = 1.0 / (d ** 0.5)
     grid, in_specs, out_spec = _build_specs(b, h, g, np_, d, bias is not None)
     if bias is None:
@@ -144,6 +172,7 @@ def _flash_fwd_impl(q, k, v, bias, causal, n):
         kernel, grid=grid, in_specs=in_specs, out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, np_, d), q.dtype),
         interpret=_should_interpret(),
+        **_compiler_params(g, np_, bwd=False),
     )(*args)
 
 
@@ -154,7 +183,7 @@ def _flash_fwd_rule(q, k, v, bias, causal, n, bias_grad):
 def _flash_bwd_rule(causal, n, bias_grad, res, grad):
     q, k, v, bias = res
     b, h, np_, d = q.shape
-    g = _group_size(h)
+    g = _group_size(h, np_)
     scale = 1.0 / (d ** 0.5)
     grid, in_specs, qkv_spec = _build_specs(b, h, g, np_, d, bias is not None)
     in_specs = in_specs + [qkv_spec]  # grad input
@@ -186,6 +215,7 @@ def _flash_bwd_rule(causal, n, bias_grad, res, grad):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=_should_interpret(),
+        **_compiler_params(g, np_, bwd=True),
     )(*args)
     if with_dbias:
         dq, dk, dv, dbias = outs

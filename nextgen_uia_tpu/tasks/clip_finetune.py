@@ -40,7 +40,14 @@ from .common import (apply_compat_flags, base_parser, build_clip_model,
 
 
 def _finetune_parser(family: str):
-    p = base_parser(f"{family}_finetune", batch_size=64, epochs=32, patience=10)
+    # reference CLI defaults (audited by tests/test_flag_parity.py):
+    # biomedclip/finetune.py defaults to 32 epochs + freq_enhanced; the
+    # clip/metaclip/unimedclip finetunes to 1000 epochs + noise_aware
+    p = base_parser(f"{family}_finetune", batch_size=64,
+                    epochs=32 if family == "biomedclip" else 1000,
+                    patience=10,
+                    mona_variant=("freq_enhanced" if family == "biomedclip"
+                                  else "noise_aware"))
     p.add_argument("--method", type=str, default="full", choices=["full", "mona", "lora"])
     p.add_argument("--tune_text_encoder", default=False, action="store_true")
     p.add_argument("--tune_layers", type=str, default="all",
@@ -513,7 +520,8 @@ def retrieval_metrics(sim: np.ndarray, k_values=(1, 2, 5, 10)):
 
 
 def retrieval_main(family: str, argv=None):
-    p = base_parser(f"{family}_retrieval", batch_size=64)
+    # reference retrieval.py get_args: batch_size 128, seed 42 (:60-75)
+    p = base_parser(f"{family}_retrieval", batch_size=128, seed=42)
     p.add_argument("--csv", type=str, required=False, default=None,
                    help="CSV with filename,Caption columns (e.g. ROCO-v2 test)")
     p.add_argument("--img_dir", type=str, default=None)

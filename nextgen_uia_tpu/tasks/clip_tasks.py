@@ -100,7 +100,9 @@ def make_zero_shot_logits_fn(cfg, text_feats, *, classes=None, mesh=None):
 
 
 def zero_shot_main(family: str, argv=None):
-    p = base_parser(f"{family}_zero_shot", batch_size=32)
+    p = base_parser(f"{family}_zero_shot", batch_size=32,
+                    mona_variant=("freq_enhanced" if family == "biomedclip"
+                                  else "noise_aware"))
     args = p.parse_args(argv)
     rng = seed_everything(args.seed)
     run_path = setup_run(args, "test")
@@ -234,13 +236,27 @@ def _make_forward(cfg, hcfg, args, *, train: bool):
 
 
 def supervised_main(family: str, task: str, argv=None, *, fewshot: bool = False):
-    defaults = dict(epochs=200, batch_size=32, strong_augs=True, weak_augs=True)
+    # reference CLI defaults (audited by tests/test_flag_parity.py): the
+    # biomedclip supervised scripts default to 200 epochs + hybrid MONA
+    # (biomedclip/segmentation.py:59, :49); the clip/metaclip/unimedclip ones
+    # to 1000 epochs + noise_aware (clip/segmentation.py get_args)
+    defaults = dict(epochs=200 if family == "biomedclip" else 1000,
+                    batch_size=32, strong_augs=True, weak_augs=True,
+                    mona_variant="hybrid" if family == "biomedclip"
+                    else "noise_aware")
+    if family == "openai" and task == "cls":
+        # the one irregular reference default: clip/classification.py:49
+        # says freq_enhanced while every other clip/metaclip/unimedclip
+        # script says noise_aware — matched faithfully
+        defaults["mona_variant"] = "freq_enhanced"
     p = base_parser(f"{family}_{task}", **defaults)
     if fewshot:
         import argparse as _ap
 
         p.add_argument("--shots_per_class", type=int, default=None)
-        p.add_argument("--train_ratio", type=float, default=None)
+        # reference default samples 10% of train when shots unset
+        # (fewshot_classification.py:49-51)
+        p.add_argument("--train_ratio", type=float, default=0.1)
         p.add_argument("--stratified", default=True, action=_ap.BooleanOptionalAction)
     args = p.parse_args(argv)
     rng = seed_everything(args.seed)

@@ -51,7 +51,7 @@ def base_parser(name: str, **defaults) -> argparse.ArgumentParser:
                    action=argparse.BooleanOptionalAction)
     p.add_argument("--in_channels", type=int, default=3)
     p.add_argument("--num_classes", type=int, default=2)
-    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--seed", type=int, default=defaults.get("seed", 1))
     p.add_argument("--batch_size", type=int, default=defaults.get("batch_size", 32))
     p.add_argument("--epochs", type=int, default=defaults.get("epochs", 200))
     p.add_argument("--lr", type=float, default=defaults.get("lr", 1e-4))
@@ -63,7 +63,12 @@ def base_parser(name: str, **defaults) -> argparse.ArgumentParser:
                    help="Skip training; evaluate an existing checkpoint")
     # adapters
     p.add_argument("--mona_weights", type=str, default=None)
-    p.add_argument("--mona_variant", type=str, default="freq_enhanced",
+    # reference default varies per script: freq_enhanced (biomedclip
+    # finetune/zero_shot/retrieval), hybrid (biomedclip supervised/fewshot),
+    # noise_aware (clip/metaclip/unimedclip) — callers pass theirs; audited
+    # against the reference ASTs by tests/test_flag_parity.py
+    p.add_argument("--mona_variant", type=str,
+                   default=defaults.get("mona_variant", "freq_enhanced"),
                    choices=MONA_CHOICES + ["fractional"])
     p.add_argument("--mona_bottleneck", type=int, default=64)
     p.add_argument("--mona_layers", type=int, default=None)

@@ -52,7 +52,9 @@ def _apply_fewshot(args, datasets, data_task):
 
 def _add_fewshot_flags(p):
     p.add_argument("--shots_per_class", type=int, default=None)
-    p.add_argument("--train_ratio", type=float, default=None)
+    # reference default samples 10% of train when shots unset
+    # (baselines/fewshot_classification.py get_args)
+    p.add_argument("--train_ratio", type=float, default=0.1)
     p.add_argument("--stratified", default=True, action=argparse.BooleanOptionalAction)
 
 
@@ -141,6 +143,17 @@ def build_clipseg_bundle(args, rng):
 # ---------------------------------------------------------------------------
 
 
+def _dino_compute_dtype(args):
+    """--compute_dtype for the FROZEN DINOv2 encoder (the trainable decoder
+    heads stay f32, matching the CLIP families' discipline: frozen-tower
+    compute in bf16 on TPU, f32 master params and head math everywhere).
+    Until round 4 the dino bundles silently ignored the flag and ran the
+    encoder in f32 — a 2-3x matmul + HBM penalty on v5e."""
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
+
+
 def _build_dino(args, rng):
     import dataclasses
 
@@ -167,7 +180,10 @@ def _build_dino(args, rng):
 
 
 def add_dino_flags(p, *, seg: bool = False):
-    p.set_defaults(patch_size=14)
+    # the reference dino drivers default to 518-px inputs (37x37 grid, 1370
+    # tokens — dino/classification.py:36, segmentation.py:35), unlike the
+    # CLIP families' 224
+    p.set_defaults(patch_size=14, img_size=518)
     p.add_argument("--dino_arch", type=str, default="vit_base",
                    choices=sorted(DV.DINOV2_ARCHS))
     if seg:
@@ -176,7 +192,9 @@ def add_dino_flags(p, *, seg: bool = False):
 
 
 def dino_classification_main(argv=None, *, fewshot: bool = False):
-    p = base_parser("dino_classification", epochs=200, batch_size=32,
+    # reference dino CLI defaults: 1000 epochs, batch 24
+    # (dino/classification.py:50-51)
+    p = base_parser("dino_classification", epochs=1000, batch_size=24,
                     strong_augs=True, weak_augs=True)
     add_dino_flags(p)
     if fewshot:
@@ -199,9 +217,12 @@ def build_dino_cls_bundle(args, rng):
                             num_classes=args.num_classes, layers=4)
     params = {"encoder": encoder, "head": head}
     logging.info(model_summary({"model": params}, trainable_pred=by_keywords("head")))
+    dt = _dino_compute_dtype(args)
 
     def logits_fn(params, x):
-        feats = DV.get_intermediate_layers(params["encoder"], x, 4, cfg)
+        feats = DV.get_intermediate_layers(params["encoder"], x, 4, cfg, dtype=dt)
+        # trainable-head boundary: head math stays f32 (reference discipline)
+        feats = jax.tree.map(lambda a: a.astype(jnp.float32), feats)
         return DV.cls_head_apply(params["head"], feats, layers=4)
 
     def forward_train(params, bn, batch, rng):
@@ -217,7 +238,9 @@ def build_dino_cls_bundle(args, rng):
 
 
 def dino_segmentation_main(argv=None, *, fewshot: bool = False):
-    p = base_parser("dino_segmentation", epochs=200, batch_size=32,
+    # reference dino CLI defaults: 1000 epochs, batch 24
+    # (dino/segmentation.py:49-50)
+    p = base_parser("dino_segmentation", epochs=1000, batch_size=24,
                     strong_augs=True, weak_augs=True)
     add_dino_flags(p, seg=True)
     if fewshot:
@@ -247,10 +270,14 @@ def build_dino_seg_bundle(args, rng):
     logging.info(model_summary({"model": params}, trainable_pred=by_keywords("head")))
 
     n_layers = 5 if args.decoder_type == "unet" else 1
+    dt = _dino_compute_dtype(args)
 
     def logits_fn(params, bn, x, train):
-        feats = DV.get_intermediate_layers(params["encoder"], x, n_layers, cfg)
+        feats = DV.get_intermediate_layers(params["encoder"], x, n_layers, cfg,
+                                           dtype=dt)
         feats = jax.lax.stop_gradient(feats)  # frozen encoder (dino/segmentation.py)
+        # trainable-head boundary: decoder math stays f32 (reference discipline)
+        feats = jax.tree.map(lambda a: a.astype(jnp.float32), feats)
         if args.decoder_type == "unet":
             return DV.unet_decoder_apply(params["head"], bn, feats,
                                          image_size=args.img_size,

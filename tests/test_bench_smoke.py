@@ -50,3 +50,10 @@ def test_bench_eval_mode_smoke(monkeypatch, capsys):
     rec = _run_mode(monkeypatch, capsys, "eval_bench")
     assert rec["metric"] == "BUSI zero-shot eval images/sec/chip"
     assert rec["batch"] == 2
+
+
+def test_bench_supervised_mode_smoke(monkeypatch, capsys):
+    monkeypatch.setenv("NEXTGEN_UIA_BENCH_SUP_BATCH", "2")
+    rec = _run_mode(monkeypatch, capsys, "supervised_bench")
+    assert rec["metric"] == "BUSI supervised seg train images/sec/chip"
+    assert rec["batch"] == 2 and rec["augs"] is True

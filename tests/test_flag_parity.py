@@ -82,6 +82,89 @@ def test_reference_flags_accepted(family, task, path, monkeypatch):
         f"{sorted(missing)}")
 
 
+# Training-semantics flags whose DEFAULT values must match the reference
+# script's (a silently different default changes what a bare CLI invocation
+# trains — the dino img_size 518-vs-224 class of divergence, round 4).
+AUDITED_DEFAULTS = {
+    "img_size", "patch_size", "batch_size", "epochs", "lr", "patience",
+    "seed", "val_interval", "accumulation_steps", "weight_decay",
+    "temperature", "num_classes", "mona_variant", "mona_bottleneck",
+    "mona_layers", "lora_r", "lora_alpha", "lora_dropout", "reduce_dim",
+    "shots_per_class", "train_ratio", "grad_clip",
+}
+
+# Adjudicated divergences: (family, task, flag) -> why ours deliberately
+# differs from the reference's declared default.
+DEFAULT_EXCEPTIONS = {
+    ("clipseg", "segmentation", "reduce_dim"):
+        "reference declares --reduce_dim 512 but never consumes it "
+        "(CLIPSegAdapter ignores the arg; the HF rd64 decoder is 64-wide, "
+        "clipseg_adapter.py:16-39). Ours sizes the decoder with it, so it "
+        "must stay 64 to convert CIDAS/clipseg-rd64-refined weights.",
+}
+
+
+def _ast_default_literal(node):
+    if isinstance(node, ast.Constant):
+        return node.value
+    if (isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub)
+            and isinstance(node.operand, ast.Constant)):
+        return -node.operand.value
+    return _ast_default_literal  # sentinel: not a literal
+
+
+def _ast_defaults(path: pathlib.Path) -> dict:
+    """{flag: literal default} for every add_argument with a literal default."""
+    out = {}
+    for node in ast.walk(ast.parse(path.read_text())):
+        if (isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "add_argument"):
+            names = [a.value.lstrip("-").replace("-", "_") for a in node.args
+                     if isinstance(a, ast.Constant) and isinstance(a.value, str)
+                     and a.value.startswith("--")]
+            if not names:
+                continue
+            for kw in node.keywords:
+                if kw.arg == "default":
+                    v = _ast_default_literal(kw.value)
+                    if v is not _ast_default_literal:
+                        out[names[0]] = v
+    return out
+
+
+@pytest.mark.skipif(not REF_MODELS.exists(), reason="reference tree absent")
+@pytest.mark.parametrize("family,task,path", [
+    pytest.param(f, t, p, id=f"{f}.{t}") for f, t, p in _ref_scripts()])
+def test_reference_defaults_match(family, task, path, monkeypatch):
+    ref = {k: v for k, v in _ast_defaults(path).items()
+           if k in AUDITED_DEFAULTS}
+    import importlib
+
+    mod = importlib.import_module(f"nextgen_uia_tpu.tasks.{family}.{task}")
+
+    def grab(self, *a, **kw):
+        raise _Captured(self)
+
+    monkeypatch.setattr(argparse.ArgumentParser, "parse_args", grab)
+    try:
+        mod.main([])
+    except _Captured as c:
+        parser = c.parser
+    bad = {}
+    for flag, rv in sorted(ref.items()):
+        if (family, task, flag) in DEFAULT_EXCEPTIONS:
+            continue
+        ours = parser.get_default(flag)
+        same = (ours == rv or (isinstance(ours, (int, float))
+                               and isinstance(rv, (int, float))
+                               and ours is not True and ours is not False
+                               and abs(float(ours) - float(rv)) < 1e-12))
+        if not same:
+            bad[flag] = (rv, ours)
+    assert not bad, (
+        f"{family}/{task}.py default divergences (ref, ours): {bad}")
+
+
 def test_finetune_resolves_ckpt_compat_flag(monkeypatch, tmp_path):
     """--ckpt <npz> must reach build_clip_model as backbone_ckpt in the
     finetune driver too (it has its own setup path that previously skipped

@@ -45,6 +45,54 @@ def test_flash_forward_matches(n, causal, with_bias):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
+def test_flash_long_sequence_matches():
+    """Long-N regime (512 < N: one head per grid cell, raised vmem ceiling —
+    the DINOv2 @518 px routing, ops/flash_attention.py). Forward + grads at
+    the real 1370-token length, and the group-size switchover itself."""
+    from nextgen_uia_tpu.ops.flash_attention import _group_size, _pad_len
+
+    assert _group_size(12, _pad_len(197, jnp.float32)) == 4
+    assert _group_size(12, _pad_len(1370, jnp.float32)) == 1
+
+    b, n, h, d = 1, 1370, 2, 64
+    ks = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(ks[0], (b, n, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, n, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, n, h, d), jnp.float32)
+    ref = ref_attention(q, k, v)
+    out = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    g_ref = jax.grad(lambda *a: jnp.sum(ref_attention(*a) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(lambda *a: jnp.sum(flash_attention(*a) ** 2),
+                    argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_mha_auto_routes_long_sequences_to_flash(monkeypatch):
+    """mha impl='auto' on TPU now routes 512 < N <= NEXTGEN_UIA_FLASH_NMAX
+    through the flash kernel; einsum only beyond the cap. Checked via the
+    gate inputs (backend-independent), plus einsum/flash value parity at a
+    long N on this backend."""
+    from nextgen_uia_tpu.nn.attention import _flash_n_max, attention_init, mha
+
+    assert _flash_n_max() == 2048
+    monkeypatch.setenv("NEXTGEN_UIA_FLASH_NMAX", "512")
+    assert _flash_n_max() == 512
+
+    d, heads, n, b = 64, 2, 700, 1
+    p = attention_init(jax.random.key(0), d)
+    x = jax.random.normal(jax.random.key(1), (b, n, d))
+    out_e = mha(p, x, num_heads=heads, impl="einsum")
+    out_f = mha(p, x, num_heads=heads, impl="flash")
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_flash_backward_matches():
     b, n, h, d = 2, 33, 2, 64
     ks = jax.random.split(jax.random.key(1), 3)

@@ -110,7 +110,30 @@ out = main(["--dataset", "BUSI", "--data_root", str(root), "--exp",
             "--strong_augs", "--weak_augs"])
 """
 
+LONGSEQ_BODY = """
+import jax.numpy as jnp
+from nextgen_uia_tpu.ops.flash_attention import flash_attention
+ks = jax.random.split(jax.random.key(0), 4)
+q = jax.random.normal(ks[0], (1, 1370, 4, 64), jnp.float32)
+k = jax.random.normal(ks[1], (1, 1370, 4, 64), jnp.float32)
+v = jax.random.normal(ks[2], (1, 1370, 4, 64), jnp.float32)
+o = flash_attention(q, k, v)
+g = jax.grad(lambda a, b, c: jnp.sum(flash_attention(a, b, c) ** 2),
+             argnums=(0, 1, 2))(q, k, v)
+# fixed random projections: elementwise errors cannot hide in means
+w = jax.random.normal(ks[3], o.shape, jnp.float32)
+out = {{"o_proj": float(jnp.vdot(o, w) / o.size),
+       "o_absmax": float(jnp.max(jnp.abs(o))),
+       "dq_proj": float(jnp.vdot(g[0], w) / o.size),
+       "dk_proj": float(jnp.vdot(g[1], w) / o.size),
+       "dv_proj": float(jnp.vdot(g[2], w) / o.size)}}
+"""
+
 CASES = {
+    # the long-N flash regime (DINOv2 @ 518 px = 1370 tokens, one head per
+    # grid cell, raised scoped-vmem ceiling): real Mosaic lowering vs the
+    # CPU interpreter, forward + all three input grads
+    "flash_longseq": (LONGSEQ_BODY, dict()),
     "mona_uncached_text": (FT_BODY, dict(
         method="mona", extra=["--mona_variant", "hybrid",
                               "--no-cache_text_features"])),
