@@ -113,7 +113,9 @@ def seg_step_ab():
     for label, nmax in (("einsum", "512"), ("flash", "2048")):
         os.environ["NEXTGEN_UIA_FLASH_NMAX"] = nmax
         step = T.make_train_step(loss_fn, opt, tcfg, donate=True, has_aux=True)
-        state = T.init_state(head, opt)
+        # fresh buffers per leg: the first step donates state, and init_state
+        # captures `head`'s arrays by reference
+        state = T.init_state(jax.tree.map(jnp.array, head), opt)
         rng = jax.random.key(4)
         rng, k = jax.random.split(rng)
         state, metrics = step(state, frozen, mb, k)
