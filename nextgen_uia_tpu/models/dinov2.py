@@ -24,9 +24,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..nn.layers import (batchnorm, batchnorm_init, conv2d, conv_init,
-                         conv_transpose2d, layernorm, layernorm_init, linear,
-                         linear_init, resize_bilinear,
+from ..nn.layers import (batchnorm, batchnorm_init, conv2d, conv2d_cat,
+                         conv_init, conv_transpose2d, layernorm,
+                         layernorm_init, linear, linear_init, resize_bilinear,
                          resize_bilinear_align_corners)
 from .vit import ViTConfig, _block_init, block_apply
 
@@ -209,15 +209,25 @@ def unet_decoder_init(rng, embed_dim: int, num_classes: int = 2):
 
 
 def unet_decoder_apply(params, state, layer_feats, *, image_size: int,
-                       patch_size: int = 14, train: bool = False):
+                       patch_size: int = 14, train: bool = False, dtype=None):
     """layer_feats: 5 (patch_tokens, cls) tuples from get_intermediate_layers.
 
     Deepest layer is the trunk; layers 3..0 feed skips (dinov2.py:185-194).
-    Returns (NCHW logits bicubic-resized to image_size, new_state).
+    Returns (NCHW f32 logits bicubic-resized to image_size, new_state).
+
+    The concat-conv of each up level (dinov2.py:196-200) runs concat-free
+    via conv2d_cat — numerics within f32 accumulation order, covered by the
+    torch golden (tests/test_head_goldens.py::test_dinov2_unet_decoder_golden).
+    `dtype=bfloat16` (opt-in, --head_dtype) runs the decoder *activations* in
+    bf16 against f32 master params and f32 BN statistics, halving the
+    decoder's HBM traffic — the dominant cost of the 518-px dino-seg step on
+    a ~89 GB/s part (PERF.md round 4). Output logits are always f32.
     """
     g = image_size // patch_size
     def to_map(i):
         t = layer_feats[i][0]
+        if dtype is not None:
+            t = t.astype(dtype)
         return t.reshape(t.shape[0], g, g, t.shape[-1])
 
     x = to_map(4)
@@ -226,18 +236,18 @@ def unet_decoder_apply(params, state, layer_feats, *, image_size: int,
     for i in range(4):
         up = params[f"up{i}"]
         st = state[f"up{i}"]
-        x = conv_transpose2d(up["upconv"], x, stride=2)
-        sk = conv2d(up["skip_conv"], skips[i])
+        x = conv_transpose2d(up["upconv"], x, stride=2, dtype=dtype)
+        sk = conv2d(up["skip_conv"], skips[i], dtype=dtype)
         sk, s_skip = batchnorm(up["skip_bn"], st["skip_bn"], sk, train=train)
         sk = jax.nn.relu(sk)
         # torch align_corners=True semantics (dinov2.py:149)
         sk = resize_bilinear_align_corners(sk, (x.shape[1], x.shape[2]))
-        x = jnp.concatenate([x, sk], axis=-1)
-        x = conv2d(up["conv"], x)
+        x = conv2d_cat(up["conv"], x, sk, dtype=dtype)
         x, s_conv = batchnorm(up["conv_bn"], st["conv_bn"], x, train=train)
         x = jax.nn.relu(x)
         new_state[f"up{i}"] = {"conv_bn": s_conv, "skip_bn": s_skip}
 
     b, h, w, c = x.shape
+    x = x.astype(jnp.float32)
     x = jax.image.resize(x, (b, image_size, image_size, c), method="bicubic")
     return jnp.moveaxis(x, -1, 1), new_state

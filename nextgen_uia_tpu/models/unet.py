@@ -17,8 +17,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..nn.layers import (batchnorm, batchnorm_init, conv2d, conv_init,
-                         dropout, resize_bilinear_align_corners)
+from ..nn.layers import (batchnorm, batchnorm_init, conv2d, conv2d_cat,
+                         conv_init, dropout, resize_bilinear_align_corners)
 
 DROPOUTS = (0.05, 0.1, 0.2, 0.3, 0.5)
 
@@ -33,8 +33,10 @@ def _convblock_init(rng, cin, cout):
     return params, state
 
 
-def _convblock_apply(p, s, x, *, train, rng, drop_p):
-    x = conv2d(p["conv1"], x)
+def _convblock_apply(p, s, x, *, train, rng, drop_p, cat=None):
+    # cat: decoder skip input — conv1 consumes concatenate([x, cat], -1)
+    # concat-free (kernel split over input channels, nn/layers.py:conv2d_cat)
+    x = conv2d(p["conv1"], x) if cat is None else conv2d_cat(p["conv1"], x, cat)
     x, s1 = batchnorm(p["bn1"], s["bn1"], x, train=train)
     x = jax.nn.leaky_relu(x, 0.01)
     if train and rng is not None:
@@ -85,12 +87,13 @@ def unet_apply(params, state, x, *, train: bool = False, rng=None):
     for i in range(4):
         h = conv2d(params[f"upconv{i}"], h)
         h = resize_bilinear_align_corners(h, (h.shape[1] * 2, h.shape[2] * 2))
-        h = jnp.concatenate([feats[3 - i], h], axis=-1)
         sub = None
         if rng is not None:
             rng, sub = jax.random.split(rng)
+        # dec conv1 reads concatenate([skip, up], -1) (unet.py:52-55) concat-free
         h, new_state[f"dec{i}"] = _convblock_apply(
-            params[f"dec{i}"], state[f"dec{i}"], h, train=train, rng=sub, drop_p=0.0)
+            params[f"dec{i}"], state[f"dec{i}"], feats[3 - i], cat=h,
+            train=train, rng=sub, drop_p=0.0)
 
     logits = conv2d(params["out"], h)
     return jnp.moveaxis(logits, -1, 1), new_state

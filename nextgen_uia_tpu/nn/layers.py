@@ -134,6 +134,24 @@ def conv2d(p, x, *, stride: int | Sequence[int] = 1, padding="SAME", groups: int
     return y
 
 
+def conv2d_cat(p, x, sk, *, dtype=None):
+    """``conv2d(p, concatenate([x, sk], -1))`` without materializing the
+    concat: the kernel is split along input channels and the two partial
+    convolutions are summed. Exact up to f32 accumulation order (the full
+    conv reduces over all input channels in one pass; golden tolerances are
+    2e-4, the split lands ~1e-6 away). On a bandwidth-bound part this saves
+    a full write+read of the 2C concat activation per call, fwd and bwd
+    (the concat gradient becomes two direct adds instead of slices of a
+    materialized 2C cotangent) — PERF.md round 4, UNet decoder traffic."""
+    w = p["w"]
+    c = x.shape[-1]
+    y = conv2d({"w": w[:, :, :c]}, x, dtype=dtype)
+    pb = {"w": w[:, :, c:]}
+    if "b" in p:
+        pb["b"] = p["b"]
+    return y + conv2d(pb, sk, dtype=dtype)
+
+
 def conv_transpose2d(p, x, *, stride: int, dtype=None):
     """Transposed conv with torch ConvTranspose2d semantics.
 

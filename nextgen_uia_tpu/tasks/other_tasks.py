@@ -189,6 +189,13 @@ def add_dino_flags(p, *, seg: bool = False):
     if seg:
         p.add_argument("--decoder_type", type=str, default="unet",
                        choices=["linear", "unet"])
+        # additive TPU flag: bf16 *activations* through the trainable UNet
+        # decoder (f32 master params + BN stats). Opt-in — it halves the
+        # decoder HBM traffic that dominates the 518-px seg step, but changes
+        # trainable-path numerics vs the f32-eager reference, so quality must
+        # be validated per scripts/quality_parity.sh before flipping a run.
+        p.add_argument("--head_dtype", type=str, default="float32",
+                       choices=["float32", "bfloat16"])
 
 
 def dino_classification_main(argv=None, *, fewshot: bool = False):
@@ -271,17 +278,22 @@ def build_dino_seg_bundle(args, rng):
 
     n_layers = 5 if args.decoder_type == "unet" else 1
     dt = _dino_compute_dtype(args)
+    # trainable-head boundary: decoder math stays f32 (reference discipline)
+    # unless --head_dtype bfloat16 opts the UNet decoder activations into bf16
+    head_dt = (jnp.bfloat16 if getattr(args, "head_dtype", "float32") == "bfloat16"
+               and args.decoder_type == "unet" else None)
 
     def logits_fn(params, bn, x, train):
         feats = DV.get_intermediate_layers(params["encoder"], x, n_layers, cfg,
                                            dtype=dt)
         feats = jax.lax.stop_gradient(feats)  # frozen encoder (dino/segmentation.py)
-        # trainable-head boundary: decoder math stays f32 (reference discipline)
-        feats = jax.tree.map(lambda a: a.astype(jnp.float32), feats)
+        if head_dt is None:
+            feats = jax.tree.map(lambda a: a.astype(jnp.float32), feats)
         if args.decoder_type == "unet":
             return DV.unet_decoder_apply(params["head"], bn, feats,
                                          image_size=args.img_size,
-                                         patch_size=args.patch_size, train=train)
+                                         patch_size=args.patch_size, train=train,
+                                         dtype=head_dt)
         return DV.linear_decoder_apply(params["head"], feats[-1][0],
                                        image_size=args.img_size,
                                        patch_size=args.patch_size), None

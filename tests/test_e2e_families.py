@@ -157,6 +157,17 @@ def test_dino_segmentation_e2e(synth):
     assert "dice_mean" in stats
 
 
+def test_dino_segmentation_head_dtype_bf16_e2e(synth):
+    """--head_dtype bfloat16 plumbs through the driver: the opt-in bf16
+    decoder-activation path trains end-to-end at tiny dims."""
+    from nextgen_uia_tpu.tasks.dino.segmentation import main
+
+    stats = main(["--dataset", "BUSI", "--data_root", synth, "--exp", "dseg16",
+                  "--epochs", "1", "--val_interval", "1", "--patience", "3",
+                  "--head_dtype", "bfloat16"] + TINY)
+    assert "dice_mean" in stats and np.isfinite(stats["dice_mean"])
+
+
 def test_fewshot_segmentation_e2e(synth):
     from nextgen_uia_tpu.tasks.biomedclip.fewshot_segmentation import main
 

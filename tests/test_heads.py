@@ -84,3 +84,55 @@ def test_dinov2_features_and_heads():
     up, us = dino.unet_decoder_init(jax.random.key(3), 32)
     seg5, _ = dino.unet_decoder_apply(up, us, inter5, image_size=28, patch_size=14)
     assert seg5.shape == (2, 2, 28, 28)
+
+
+def test_conv2d_cat_matches_concat_conv():
+    """conv2d_cat (kernel split over input channels) == conv over the
+    materialized concat, fwd and grad, within f32 accumulation order."""
+    from nextgen_uia_tpu.nn.layers import conv2d, conv2d_cat, conv_init
+
+    rng = jax.random.key(0)
+    p = conv_init(rng, 3, 3, 24, 16)
+    x = jax.random.normal(jax.random.key(1), (2, 9, 9, 10))
+    sk = jax.random.normal(jax.random.key(2), (2, 9, 9, 14))
+
+    ref = conv2d(p, jnp.concatenate([x, sk], axis=-1))
+    out = conv2d_cat(p, x, sk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    def loss_cat(p, x, sk):
+        return jnp.sum(conv2d_cat(p, x, sk) ** 2)
+
+    def loss_ref(p, x, sk):
+        return jnp.sum(conv2d(p, jnp.concatenate([x, sk], axis=-1)) ** 2)
+
+    g_cat = jax.grad(loss_cat, argnums=(0, 1, 2))(p, x, sk)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(p, x, sk)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4), g_cat, g_ref)
+
+
+def test_dino_unet_decoder_bf16_activations():
+    """--head_dtype bfloat16: decoder activations bf16, f32 master params and
+    BN stats, f32 output logits, bounded drift vs the f32 path."""
+    cfg = dataclasses.replace(dino.DINOV2_B14, image_size=56, patch_size=14,
+                              width=32, depth=5, heads=4)
+    p = dino.dinov2_init(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(9), (2, 28, 28, 3))
+    inter5 = dino.get_intermediate_layers(p, x, 5, cfg)
+    up, us = dino.unet_decoder_init(jax.random.key(3), 32)
+
+    f32, st32 = dino.unet_decoder_apply(up, us, inter5, image_size=28,
+                                        patch_size=14, train=True)
+    b16, st16 = dino.unet_decoder_apply(up, us, inter5, image_size=28,
+                                        patch_size=14, train=True,
+                                        dtype=jnp.bfloat16)
+    assert b16.dtype == jnp.float32
+    # BN running stats stay f32 on the bf16 path
+    jax.tree.map(lambda a: (_ for _ in ()).throw(AssertionError(a.dtype))
+                 if a.dtype != jnp.float32 else None, st16)
+    scale = float(jnp.max(jnp.abs(f32))) + 1e-6
+    assert float(jnp.max(jnp.abs(b16 - f32))) / scale < 0.05
+    # stats track the same batch within bf16 resolution
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2), st16, st32)
