@@ -88,6 +88,33 @@ def _finetune_parser(family: str):
     return p
 
 
+def _lora_trainable_predicate(params):
+    """Reference LoRA training updates MORE than the A/B matrices: LinearLoRA
+    re-registers only `weight` with requires_grad=False
+    (/root/reference/src/adapters/lora.py:28-39), so the wrapped projections'
+    BIASES stay requires_grad=True and ride the optimizer alongside A/B.
+    (They are NOT saved in the adapter checkpoint — _save_checkpoint filters
+    names on 'lora', finetune.py:202-206 — so they reset to pretrained at
+    eval load; keyword_filter='lora' below reproduces that half too.)
+    Trainable = every 'lora' slot + the q/k/v/o biases of each lora-injected
+    attention subtree. Pinned by tests/test_trajectory_golden.py."""
+    import jax.tree_util as jtu
+
+    from ..core.partition import path_str
+
+    paths = []
+    jtu.tree_map_with_path(lambda p, v: paths.append(path_str(p)), params)
+    lora_attn = {p.split("/lora/")[0] for p in paths if "/lora/" in p}
+    bias_paths = {f"{a}/{proj}/b" for a in lora_attn
+                  for proj in ("q", "k", "v", "o")}
+    base = by_keywords("lora")
+
+    def pred(path: str) -> bool:
+        return base(path) or path in bias_paths
+
+    return pred
+
+
 def _full_ft_predicate(args, depth: int = 12):
     """Path predicate for full fine-tuning with layer subsets / frozen text
     (finetune.py:140-158)."""
@@ -97,6 +124,14 @@ def _full_ft_predicate(args, depth: int = 12):
 
     def pred(path: str) -> bool:
         if path.startswith("text") and not args.tune_text_encoder:
+            return False
+        if path == "logit_scale":
+            # requires_grad=True in the reference, but the finetune loss
+            # never touches it (InfoNCELoss uses the fixed --temperature,
+            # finetune.py:264-279), so its grad stays None and torch AdamW
+            # skips it entirely. Keeping it trainable here would weight-decay
+            # it every update (optax applies wd to zero-grad leaves) —
+            # pinned by tests/test_trajectory_golden.py.
             return False
         if path.startswith("visual/blocks/"):
             idx = int(path.split("/")[2])
@@ -136,7 +171,7 @@ def finetune_main(family: str, argv=None):
     if args.method == "mona":
         pred = by_keywords("mona")
     elif args.method == "lora":
-        pred = by_keywords("lora")
+        pred = _lora_trainable_predicate(params)
     else:
         pred = _full_ft_predicate(args, depth=cfg.vision.depth)
     trainable, frozen = partition(params, pred)
