@@ -44,13 +44,24 @@ def _autocontrast(img):
 
 def _equalize(img):
     """Histogram equalisation over 256 bins (PIL ImageOps.equalize semantics:
-    LUT from the cumulative histogram with PIL's step offset)."""
-    u8 = jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.int32)
-    # compare-reduce histogram: a scatter-add with ~HW duplicate indices
-    # serializes on TPU (measured 32 ms/img at 224^2 vs ~0.1 ms for the
-    # fused broadcast-compare reduction)
-    hist = jnp.sum(u8.reshape(-1, 1) == jnp.arange(256, dtype=jnp.int32),
-                   axis=0, dtype=jnp.int32)
+    LUT from the cumulative histogram with PIL's step offset).
+
+    The histogram and the LUT application are the dominant compute of the
+    whole augmentation pipeline (the vmapped switch evaluates this branch
+    every slot; PERF.md round 5 knockout: ~23 ms of the 44 ms 518^2 batch-24
+    bill). Per-pixel gathers/scatters serialize on TPU (151 ms/batch apply,
+    32 ms/img scatter-add hist at 224^2 — PERF.md round 4), and the fused
+    256-wide compare-reduce forms burn ~512 vector compares per pixel. Both
+    stages therefore run as 16x16 factorizations (ops/lut.py): hi/lo nibble
+    one-hots turn the histogram into ONE [16,N]x[N,16] MXU contraction and
+    the apply into [N,16]@[16,16] + a 16-term masked sum — bit-identical
+    (one non-zero term per sum, integer values exact in f32), ~8x fewer
+    vector ops, and the contraction rides the otherwise-idle MXU.
+    NEXTGEN_UIA_LUT_KERNEL=1 swaps the apply for the hand-Pallas kernel
+    (measured equal to the factorized XLA form; kept for A/B)."""
+    from ..ops import lut as lut_ops
+
+    hist = lut_ops.hist256_fact(img)
     # PIL: step = (total - last_nonzero_bin_count) // 255; lut = (cumsum + step//2) // step
     nonzero = hist > 0
     last_idx = 255 - jnp.argmax(nonzero[::-1])
@@ -59,10 +70,10 @@ def _equalize(img):
     shifted = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum[:-1]])
     lut = jnp.where(step > 0, (shifted + step // 2) // jnp.maximum(step, 1), jnp.arange(256))
     lut = jnp.clip(lut, 0, 255)
-    # apply the LUT as a fused compare-select-sum: a per-pixel 256-entry
-    # gather serializes on TPU (measured 151 ms/batch at 32x224^2 vs 1.5 ms
-    # for this form, which XLA fuses without materializing [N, 256])
-    out = jnp.sum(jnp.where(u8[..., None] == jnp.arange(256), lut, 0), axis=-1)
+    if lut_ops.use_kernel():
+        out = lut_ops.lut_apply(img, lut)
+    else:
+        out = lut_ops.lut_apply_fact(img, lut)
     return out.astype(img.dtype) / 255.0
 
 

@@ -19,6 +19,7 @@ resolution, single-channel logits.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -90,11 +91,23 @@ def pyramid_head_apply(p, cfg: PyramidHeadConfig, activations, *, rng=None, dtyp
     fmap = fused.reshape(b, size, size, c)  # NHWC
 
     if cfg.task == "seg":
-        fmap = resize_bilinear(fmap, (cfg.img_size, cfg.img_size))
-        logits = jax.lax.conv_general_dilated(
-            fmap, p["seg_head"]["w"].astype(fmap.dtype), (1, 1), "SAME",
+        # reference order is upsample-then-1x1-conv (clip_adapter.py:46-49),
+        # but the two operations are linear and commute EXACTLY (bilinear
+        # row weights sum to 1, so even the bias passes through unchanged) —
+        # conv first keeps the 16x-upsampled tensor at num_classes channels
+        # instead of reduce_dim (512): [B,224,224,512] f32 is 3.3 GB of HBM
+        # traffic per step at batch 32 on an ~89 GB/s part (PERF.md round 5).
+        # NEXTGEN_UIA_SEG_CONV_FIRST=0 restores the reference order for A/B
+        # (bench/smoke_headorder.py), same toggle style as FLASH_NMAX.
+        conv = lambda x: jax.lax.conv_general_dilated(
+            x, p["seg_head"]["w"].astype(x.dtype), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + p["seg_head"]["b"].astype(fmap.dtype)
+        ) + p["seg_head"]["b"].astype(x.dtype)
+        up = lambda x: resize_bilinear(x, (cfg.img_size, cfg.img_size))
+        if os.environ.get("NEXTGEN_UIA_SEG_CONV_FIRST", "1") == "1":
+            logits = up(conv(fmap))
+        else:
+            logits = conv(up(fmap))
         return jnp.moveaxis(logits, -1, 1)  # -> NCHW
     pooled = jnp.mean(fmap, axis=(1, 2))
     if cfg.cls_hidden:
