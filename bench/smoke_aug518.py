@@ -6,10 +6,13 @@ and asked for a measurement plus a re-adjudication of the LUT-flush levers
 at that size. This probe measures, on the real chip:
 
   1. lut-apply microbench (one application, the per-slot dominant term):
-     fused compare-select-sum (XLA) vs one-hot matmul vs the Pallas 16x16
-     factorized kernel (ops/lut.py) at 32x224^2 and 24x518^2;
-  2. the full strong+weak augment_batch at both geometries with the kernel
-     OFF (round-4 shipped form) and ON (round-5 default).
+     fused compare-select-sum (round-4 form) vs one-hot matmul vs the
+     16x16-factorized XLA form (round-5 default) vs the Pallas 16x16
+     kernel (opt-in), plus the histogram variants, at 32x224^2 and
+     24x518^2;
+  2. the full strong+weak augment_batch at both geometries with the Pallas
+     apply kernel OFF (shipped default: factorized XLA) and ON (opt-in) —
+     measured a wash, which is why the kernel is opt-in (PERF.md round 5).
 
 Methodology per CLAUDE.md: chained applications via lax.fori_loop-free
 host loop with a dependency chain, host scalar fetch as the barrier, best

@@ -136,3 +136,27 @@ def test_dino_unet_decoder_bf16_activations():
     # stats track the same batch within bf16 resolution
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2), st16, st32)
+
+
+def test_pyramid_seg_conv_resize_orders_commute(monkeypatch):
+    """Round-5 exact rewrite: the seg tail's 1x1 conv and bilinear upsample
+    commute (both linear; bilinear rows sum to 1 so the bias passes through).
+    NEXTGEN_UIA_SEG_CONV_FIRST=0 must reproduce the reference order's output
+    to f32 rounding."""
+    import os
+
+    from nextgen_uia_tpu.models.heads import pyramid_head_apply, pyramid_head_init
+
+    cfg = PyramidHeadConfig(feature_dim=48, reduce_dim=32, num_layers=2,
+                            num_classes=3, img_size=32, task="seg")
+    p = pyramid_head_init(jax.random.key(0), cfg)
+    acts = [jax.random.normal(jax.random.key(i + 1), (2, 17, 48))
+            for i in range(2)]
+
+    monkeypatch.setenv("NEXTGEN_UIA_SEG_CONV_FIRST", "1")
+    fast = pyramid_head_apply(p, cfg, acts)
+    monkeypatch.setenv("NEXTGEN_UIA_SEG_CONV_FIRST", "0")
+    ref = pyramid_head_apply(p, cfg, acts)
+    assert fast.shape == ref.shape == (2, 3, 32, 32)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -110,6 +110,17 @@ out = main(["--dataset", "BUSI", "--data_root", str(root), "--exp",
             "--strong_augs", "--weak_augs"])
 """
 
+SUPSEG_BODY = """
+root, name, _ = make_synth_root("{work}/data", dataset="BUSI", n=12, img_size=64)
+from nextgen_uia_tpu.tasks.clip.segmentation import main
+out = main(["--dataset", "BUSI", "--data_root", str(root), "--exp",
+            "kp_{tag}_{platform}", "--img_size", "64", "--batch_size", "4",
+            "--epochs", "2", "--val_interval", "2", "--patience", "3",
+            "--seed", "7", "--debug_tiny", "--num_workers", "2",
+            "--compute_dtype", "float32",
+            "--strong_augs", "--weak_augs"])
+"""
+
 LONGSEQ_BODY = """
 import jax.numpy as jnp
 from nextgen_uia_tpu.ops.flash_attention import flash_attention
@@ -164,6 +175,10 @@ CASES = {
     # backends with the same threefry stream — the durable CPU-vs-TPU aug
     # parity check (reference aug law: src/datasets/classification.py:123-151)
     "supervised_augs": (SUP_BODY, dict()),
+    # the PyramidHead SEG tail (conv-before-resize, round 5) + DiceCE +
+    # seg metrics on real Mosaic vs CPU — the cls case above never touches
+    # the seg head, and the seg head carries the round-5 exact reordering
+    "supervised_seg": (SUPSEG_BODY, dict()),
 }
 
 
